@@ -147,6 +147,38 @@ def convert_x3d_state_dict(state_dict, cfg: X3DConfig | None = None, *, strict: 
     return {"params": params, "batch_stats": stats}
 
 
+def pack_scanned_stages(tree: dict, cfg: X3DConfig | None = None) -> dict:
+    """Repack an unrolled per-block tree into the scan_blocks layout.
+
+    For each stage, blocks 1..2p are stacked pairwise into
+    ``pairs/{a,b}/...`` with a leading scan axis (a = odd/non-SE blocks,
+    b = even/SE blocks, matching BlockPair); block0 and an odd trailing
+    block stay unrolled. Works for both params and batch_stats subtrees.
+    """
+    import jax
+
+    cfg = cfg or x3d_l_config()
+    out = dict(tree)
+    for s in range(4):
+        key = f"stage{s + 1}"
+        if key not in tree:
+            continue
+        stage = dict(tree[key])
+        depth = cfg.stage_depths[s]
+        n_pairs = (depth - 1) // 2
+        if n_pairs <= 0:
+            out[key] = stage
+            continue
+        a_blocks = [stage.pop(f"block{2 * p + 1}") for p in range(n_pairs)]
+        b_blocks = [stage.pop(f"block{2 * p + 2}") for p in range(n_pairs)]
+        stage["pairs"] = {
+            "a": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *a_blocks),
+            "b": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *b_blocks),
+        }
+        out[key] = stage
+    return out
+
+
 def load_x3d_pretrained(path: str, cfg: X3DConfig | None = None):
     """Read ``X3D_L.pyth`` (torch serialized, 'model_state' entry) and convert.
 
@@ -158,7 +190,13 @@ def load_x3d_pretrained(path: str, cfg: X3DConfig | None = None):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model_state", ckpt)
     state = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
-    return convert_x3d_state_dict(state, cfg)
+    converted = convert_x3d_state_dict(state, cfg)
+    if (cfg or x3d_l_config()).scan_blocks:
+        converted = {
+            "params": pack_scanned_stages(converted["params"], cfg),
+            "batch_stats": pack_scanned_stages(converted["batch_stats"], cfg),
+        }
+    return converted
 
 
 def merge_backbone_variables(variables: dict, backbone: dict, *, drop_head: bool = True) -> dict:

@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from change3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.task in ("bcd", "scd", "bda"):
         cfg = RunConfig(

@@ -30,9 +30,14 @@ from change3d_tpu.init import normal_init, torch_conv_kernel_init
 from change3d_tpu.models.x3d import X3D, X3DConfig, x3d_l_config
 from change3d_tpu.ops.layers import pointwise_conv3d
 
-# Channel dims of the four tap points (stem, stage1, stage2, stage3)
-# (ref: /root/reference/model/trainer.py:186).
+# Channel dims of the four tap points (stem, stage1, stage2, stage3) for the
+# default X3D-L instantiation (ref: /root/reference/model/trainer.py:186).
 EMBED_DIMS = (24, 24, 48, 96)
+
+
+def tap_dims(cfg: X3DConfig):
+    """Channel dims at the four tap points for an arbitrary backbone config."""
+    return (cfg.stem_dim_out,) + tuple(cfg.stage_dims[:3])
 
 
 class Encoder(nn.Module):
@@ -54,7 +59,7 @@ class Encoder(nn.Module):
         # Per-stage enhancement convs, 1x1, bias-free, torch-default init
         # (encoder is not weight_init'd; ref: /root/reference/model/trainer.py:57-69).
         self.fc = [
-            EnhanceFC(dim, name=f"fc{i}") for i, dim in enumerate(EMBED_DIMS)
+            EnhanceFC(dim, name=f"fc{i}") for i, dim in enumerate(tap_dims(cfg))
         ]
 
     def _stack_frames(self, pre: jax.Array, post: jax.Array) -> jax.Array:

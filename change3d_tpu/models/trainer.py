@@ -22,9 +22,10 @@ from typing import Any, Dict
 import jax
 import flax.linen as nn
 
-from change3d_tpu.models.encoder import EMBED_DIMS, Encoder
+from change3d_tpu.models.encoder import EMBED_DIMS, Encoder, tap_dims
 from change3d_tpu.models.change_decoder import ChangeDecoder
 from change3d_tpu.models.caption_decoder import CaptionDecoder
+from change3d_tpu.models.x3d import X3DConfig, x3d_l_config
 
 
 class Task(str, enum.Enum):
@@ -59,22 +60,26 @@ class Change3D(nn.Module):
     num_heads: int = 8
     num_layers: int = 3
     dropout: float = 0.1
+    backbone_cfg: X3DConfig = None  # type: ignore[assignment]
 
     def setup(self):
+        cfg = self.backbone_cfg or x3d_l_config()
+        dims = tap_dims(cfg)
         self.encoder = Encoder(
             num_perception_frames=PERCEPTION_FRAMES[self.task],
             in_height=self.in_height,
             in_width=self.in_width,
+            cfg=cfg,
         )
         if self.task == Task.BCD:
-            self.decoder = ChangeDecoder(1, has_sigmoid=True, in_dims=EMBED_DIMS)
+            self.decoder = ChangeDecoder(1, has_sigmoid=True, in_dims=dims)
         elif self.task == Task.SCD:
-            self.decoder_pre = ChangeDecoder(self.num_classes, in_dims=EMBED_DIMS)
-            self.decoder_post = ChangeDecoder(self.num_classes, in_dims=EMBED_DIMS)
-            self.decoder_change = ChangeDecoder(1, has_sigmoid=True, in_dims=EMBED_DIMS)
+            self.decoder_pre = ChangeDecoder(self.num_classes, in_dims=dims)
+            self.decoder_post = ChangeDecoder(self.num_classes, in_dims=dims)
+            self.decoder_change = ChangeDecoder(1, has_sigmoid=True, in_dims=dims)
         elif self.task == Task.BDA:
-            self.decoder_cls = ChangeDecoder(self.num_classes, in_dims=EMBED_DIMS)
-            self.decoder_loc = ChangeDecoder(1, has_sigmoid=True, in_dims=EMBED_DIMS)
+            self.decoder_cls = ChangeDecoder(self.num_classes, in_dims=dims)
+            self.decoder_loc = ChangeDecoder(1, has_sigmoid=True, in_dims=dims)
         elif self.task == Task.CC:
             self.decoder = CaptionDecoder(
                 vocab_size=self.vocab_size,

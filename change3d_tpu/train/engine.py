@@ -85,12 +85,22 @@ def create_train_state(
 # ---------------------------------------------------------------------------
 
 
+def _valid_gt(batch, gt):
+    """Mask padded eval samples out of the metric hist: gt -> -1 where the
+    sample is padding (confusion_matrix ignores out-of-range gt)."""
+    valid = batch.get("valid")
+    if valid is None:
+        return gt
+    shape = (gt.shape[0],) + (1,) * (gt.ndim - 1)
+    return jnp.where(valid.reshape(shape), gt, -1)
+
+
 def _bcd_loss_metrics(outputs, batch, train: bool):
     probs = outputs["change"]
     label = batch["label"].astype(jnp.float32)  # [B,H,W,1]
     loss = bce_dice_loss(probs, label)
     pred = (probs > 0.5).astype(jnp.int32)
-    cm = confusion_matrix(batch["label"], pred, 2)
+    cm = confusion_matrix(_valid_gt(batch, batch["label"]), pred, 2)
     return loss, {"cm": cm}
 
 
@@ -109,12 +119,17 @@ def _scd_loss_metrics(outputs, batch, train: bool):
     change_pred = (outputs["change"][..., 0] > 0.5).astype(jnp.int32)
     pre_pred = jnp.argmax(outputs["pre"], axis=-1).astype(jnp.int32) * change_pred
     post_pred = jnp.argmax(outputs["post"], axis=-1).astype(jnp.int32) * change_pred
-    cm = confusion_matrix(pre_label, pre_pred, num_classes) + confusion_matrix(
-        post_label, post_pred, num_classes
+    pre_gt = _valid_gt(batch, pre_label)
+    post_gt = _valid_gt(batch, post_label)
+    cm = confusion_matrix(pre_gt, pre_pred, num_classes) + confusion_matrix(
+        post_gt, post_pred, num_classes
     )
-    correct = jnp.sum(pre_pred == pre_label) + jnp.sum(post_pred == post_label)
-    total = 2 * pre_label.size
-    return loss, {"cm": cm, "acc_correct": correct, "acc_total": jnp.asarray(total)}
+    valid_px = pre_gt >= 0
+    correct = jnp.sum((pre_pred == pre_label) & valid_px) + jnp.sum(
+        (post_pred == post_label) & valid_px
+    )
+    total = 2 * jnp.sum(valid_px)
+    return loss, {"cm": cm, "acc_correct": correct, "acc_total": total}
 
 
 def _bda_loss_metrics(outputs, batch, train: bool):
@@ -126,12 +141,12 @@ def _bda_loss_metrics(outputs, batch, train: bool):
     loss = seg + binary
     num_classes = outputs["cls"].shape[-1]
     loc_pred = (outputs["loc"][..., 0] > 0.5).astype(jnp.int32)
-    loc_cm = confusion_matrix(jnp.minimum(label_loc, 1), loc_pred, 2)
+    loc_cm = confusion_matrix(_valid_gt(batch, jnp.minimum(label_loc, 1)), loc_pred, 2)
     cls_pred = jnp.argmax(outputs["cls"], axis=-1).astype(jnp.int32)
     # Only pixels with loc>0 count for damage classification
     # (ref: /root/reference/scripts/train_BDA.py:136-138): mask others out of
     # the hist by sending their gt out of range.
-    cls_gt = jnp.where(label_loc > 0, label_cls, -1)
+    cls_gt = _valid_gt(batch, jnp.where(label_loc > 0, label_cls, -1))
     cls_cm = confusion_matrix(cls_gt, cls_pred, num_classes)
     return loss, {"loc_cm": loc_cm, "cls_cm": cls_cm}
 

@@ -165,7 +165,8 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
         meter = _make_meter(cfg.task, cfg.num_classes)
         losses = []
         for batch in device_prefetch(test_loader, bsh):
-            batch.pop("valid", None)  # padding repeats the last sample; effect is negligible
+            # 'valid' marks padded samples in the final batch; the engine
+            # masks them out of the confusion matrices on device.
             metrics = eval_step(state, batch)
             metrics = jax.device_get(metrics)
             losses.append(float(metrics.pop("loss")))

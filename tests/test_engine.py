@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.models.x3d import X3DConfig
 from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
 from change3d_tpu.train.engine import create_train_state, make_train_step, make_eval_step
 from change3d_tpu.train.lr import poly_warmup_schedule
@@ -42,8 +43,18 @@ def _batch(task: str, rng: np.random.RandomState):
     return batch
 
 
+TINY_CFG = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(1, 1, 2, 1),
+    head_dim_out=64,
+    num_classes=10,
+)
+
+
 def _model(task: str) -> Change3D:
-    kwargs = dict(task=Task(task), in_height=H, in_width=W)
+    kwargs = dict(task=Task(task), in_height=H, in_width=W, backbone_cfg=TINY_CFG)
     if task == "scd":
         kwargs["num_classes"] = 6
     elif task == "bda":

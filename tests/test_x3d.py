@@ -7,8 +7,14 @@ import torch
 import jax
 import jax.numpy as jnp
 
+import dataclasses
+
 from change3d_tpu.models.x3d import X3D, X3DConfig, x3d_l_config, round_width, round_repeats
-from change3d_tpu.checkpoint.convert import convert_x3d_state_dict, x3d_torch_key_map
+from change3d_tpu.checkpoint.convert import (
+    convert_x3d_state_dict,
+    pack_scanned_stages,
+    x3d_torch_key_map,
+)
 
 from torch_oracle import make_random_x3d_state_dict, oracle_run_blocks
 
@@ -44,12 +50,19 @@ def _tiny_cfg():
 
 
 @pytest.mark.parametrize("cfg_name", ["tiny", "full"])
-def test_converter_covers_all_keys(cfg_name):
+@pytest.mark.parametrize("scan", [False, True])
+def test_converter_covers_all_keys(cfg_name, scan):
     cfg = _tiny_cfg() if cfg_name == "tiny" else x3d_l_config()
+    cfg = dataclasses.replace(cfg, scan_blocks=scan)
     sd = make_random_x3d_state_dict(cfg, seed=1)
     key_map = x3d_torch_key_map(cfg)
     assert set(sd.keys()) == set(key_map.keys())
     variables = convert_x3d_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    if scan:
+        variables = {
+            "params": pack_scanned_stages(variables["params"], cfg),
+            "batch_stats": pack_scanned_stages(variables["batch_stats"], cfg),
+        }
     # Converted tree must slot exactly into a freshly initialized model.
     model = X3D(cfg)
     x = jnp.zeros((1, 3, 16, 16, 3), jnp.float32)
@@ -67,10 +80,16 @@ def test_converter_covers_all_keys(cfg_name):
     )
 
 
-def test_x3d_forward_matches_torch_oracle_tiny():
-    cfg = _tiny_cfg()
+@pytest.mark.parametrize("scan", [False, True])
+def test_x3d_forward_matches_torch_oracle_tiny(scan):
+    cfg = dataclasses.replace(_tiny_cfg(), scan_blocks=scan)
     sd = make_random_x3d_state_dict(cfg, seed=2)
     variables = convert_x3d_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    if scan:
+        variables = {
+            "params": pack_scanned_stages(variables["params"], cfg),
+            "batch_stats": pack_scanned_stages(variables["batch_stats"], cfg),
+        }
     model = X3D(cfg)
     x = np.random.RandomState(3).randn(2, 3, 16, 16, 3).astype(np.float32)
 
