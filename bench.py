@@ -33,22 +33,26 @@ def main():
     variables = model.init(rng, pre, post)
 
     @jax.jit
-    def forward(variables, pre, post):
-        out = model.apply(variables, pre, post, train=False)["change"]
-        return (out > 0.5).astype(jnp.int32)
+    def forward(variables, pre, post, salt):
+        # `salt` chains iterations: inputs differ every call and the next
+        # call depends on the previous output, so no dispatch-level caching
+        # or deduplication can elide work.
+        out = model.apply(variables, pre + salt, post, train=False)["change"]
+        return (out > 0.5).astype(jnp.int32), jnp.sum(out) * 0.0
 
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     y = jax.random.normal(jax.random.PRNGKey(2), (batch, 256, 256, 3), jnp.bfloat16)
 
-    # Warmup / compile.
-    for _ in range(3):
-        jax.block_until_ready(forward(variables, x, y))
+    salt = jnp.bfloat16(0.0)
+    for _ in range(3):  # warmup / compile
+        out, salt = forward(variables, x, y, salt)
+    jax.block_until_ready(out)
 
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x, y)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out, salt = forward(variables, x, y, salt + i)
+    jax.block_until_ready((out, salt))
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
 

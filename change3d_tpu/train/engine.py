@@ -166,14 +166,23 @@ _TASK_FNS: Dict[Task, Callable] = {
 }
 
 
-def _forward(model: Change3D, variables, batch, *, train: bool, rngs=None, mutable=False):
+def _forward(
+    model: Change3D, variables, batch, *, train: bool, rngs=None, mutable=False, compute_dtype=None
+):
     kwargs = {}
     if model.task == Task.CC:
         kwargs["captions"] = batch["caption"]
+    pre, post = batch["pre"], batch["post"]
+    if compute_dtype is not None:
+        # bf16 activations: every matmul still accumulates fp32
+        # (preferred_element_type) and BN statistics stay fp32; task heads
+        # emit fp32 via the loss cast.
+        pre = pre.astype(compute_dtype)
+        post = post.astype(compute_dtype)
     return model.apply(
         variables,
-        batch["pre"],
-        batch["post"],
+        pre,
+        post,
         train=train,
         rngs=rngs,
         mutable=["batch_stats"] if mutable else False,
@@ -186,6 +195,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Returns jit(state, batch, rng) -> (state, metrics)."""
     loss_metrics = _TASK_FNS[model.task]
@@ -201,6 +211,7 @@ def make_train_step(
                 train=True,
                 rngs={"dropout": dropout_rng},
                 mutable=True,
+                compute_dtype=compute_dtype,
             )
             loss, metrics = loss_metrics(outputs, batch, True)
             return loss, (metrics, updates["batch_stats"])
@@ -222,11 +233,13 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: Change3D):
+def make_eval_step(model: Change3D, *, compute_dtype=None):
     loss_metrics = _TASK_FNS[model.task]
 
     def step(state: TrainState, batch):
-        outputs = _forward(model, state.variables, batch, train=False)
+        outputs = _forward(
+            model, state.variables, batch, train=False, compute_dtype=compute_dtype
+        )
         loss, metrics = loss_metrics(outputs, batch, False)
         return dict(metrics, loss=loss)
 

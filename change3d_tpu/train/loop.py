@@ -155,8 +155,9 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
         start_epoch = step // max_batches
         state = jax.device_put(state, rsh)
 
-    train_step = make_train_step(model, tx)
-    eval_step = make_eval_step(model)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    train_step = make_train_step(model, tx, compute_dtype=compute_dtype)
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     best_metric_name = _BEST_METRIC[cfg.task]
     best_val = -1.0
     results: Dict[str, Any] = {}

@@ -1,0 +1,90 @@
+"""Caption pipeline end-to-end on synthetic data: HDF5 dataset -> loader ->
+teacher-forced training -> batched beam decode -> metric suite."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from change3d_tpu.data.datasets import CaptionDataset
+from change3d_tpu.data.pipeline import DataLoader, caption_collate
+from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.models.x3d import X3DConfig
+from change3d_tpu.train.caption_loop import evaluate_captions, _EveryFifth
+from change3d_tpu.train.engine import create_train_state, make_train_step
+from change3d_tpu.train.lr import shrink_schedule
+from change3d_tpu.train.optim import torch_adam
+
+VOCAB = {"<pad>": 0, "<start>": 2, "<end>": 3, "<unk>": 1}
+for i, w in enumerate(["a", "building", "appeared", "road", "nothing", "changed"]):
+    VOCAB[w] = 4 + i
+
+TINY_CFG = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(1, 1, 2, 1),
+    head_dim_out=64,
+    num_classes=10,
+)
+
+
+@pytest.fixture(scope="module")
+def caption_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cc")
+    rng = np.random.RandomState(0)
+    n_imgs, cpi, cap_len, hw = 4, 5, 12, 32
+    for split in ("TRAIN", "TEST"):
+        with h5py.File(root / f"{split}_IMAGES_DS.hdf5", "w") as f:
+            f.attrs["captions_per_image"] = cpi
+            f.create_dataset(
+                "images", data=rng.randint(0, 255, (n_imgs, 2, 3, hw, hw), np.uint8)
+            )
+        caps, lens = [], []
+        for _ in range(n_imgs * cpi):
+            n_words = rng.randint(3, 7)
+            body = rng.randint(4, 10, n_words).tolist()
+            cap = [2] + body + [3]
+            lens.append(len(cap))
+            caps.append(cap + [0] * (cap_len - len(cap)))
+        with open(root / f"{split}_CAPTIONS_DS.json", "w") as f:
+            json.dump(caps, f)
+        with open(root / f"{split}_CAPLENS_DS.json", "w") as f:
+            json.dump(lens, f)
+    with open(root / "WORDMAP_DS.json", "w") as f:
+        json.dump(VOCAB, f)
+    return str(root)
+
+
+def test_caption_train_and_beam_eval(caption_root):
+    model = Change3D(
+        task=Task.CC, vocab_size=len(VOCAB), embed_dim=32, num_heads=4,
+        num_layers=2, backbone_cfg=TINY_CFG,
+    )
+    train_data = CaptionDataset(caption_root, "DS", "TRAIN")
+    loader = DataLoader(train_data, 4, shuffle=True, num_workers=1, collate=caption_collate, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["caption"].shape[1] == 12
+    assert batch["pre"].shape == (4, 32, 32, 3)
+
+    tx = torch_adam(shrink_schedule(1e-3, 5), weight_decay=1e-5, grad_clip_value=5.0)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, donate=False)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+    eval_data = _EveryFifth(CaptionDataset(caption_root, "DS", "TEST"))
+    assert len(eval_data) == 4  # one per image
+    eval_loader = DataLoader(eval_data, 2, num_workers=1, collate=caption_collate, pad_final=True)
+    for beam in (1, 3):
+        scores = evaluate_captions(model, state.variables, eval_loader, VOCAB, beam_size=beam)
+        for k in ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "change_acc", "nochange_acc"):
+            assert k in scores, k
+            assert np.isfinite(scores[k])
