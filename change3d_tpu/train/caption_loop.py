@@ -83,7 +83,7 @@ def load_word_map(cfg: CaptionRunConfig) -> Dict[str, int]:
         return json.load(f)
 
 
-def build_caption_model(cfg: CaptionRunConfig, vocab_size: int) -> Change3D:
+def build_caption_model(cfg: CaptionRunConfig, vocab_size: int, in_size: int = 256) -> Change3D:
     return Change3D(
         task=Task.CC,
         vocab_size=vocab_size,
@@ -91,6 +91,8 @@ def build_caption_model(cfg: CaptionRunConfig, vocab_size: int) -> Change3D:
         num_heads=cfg.n_head,
         num_layers=cfg.n_layer,
         dropout=cfg.dropout,
+        in_height=in_size,
+        in_width=in_size,
     )
 
 
@@ -119,12 +121,32 @@ def make_decode_fn(model: Change3D, beam_size: int, word_map: Dict[str, int]):
     return jax.jit(decode)
 
 
+def save_caption_json(save_dir: str, word_map: Dict[str, int], hypotheses, references) -> None:
+    """Persist res.json / gts.json in the reference's format (word-id lists
+    rendered to text; ref: /root/reference/scripts/train_CC.py:34-73)."""
+    rev = {v: k for k, v in word_map.items()}
+    os.makedirs(save_dir, exist_ok=True)
+    res = [
+        {"image_id": i, "caption": " ".join(rev.get(w, "?") for w in hyp)}
+        for i, hyp in enumerate(hypotheses)
+    ]
+    gts = [
+        {"image_id": i, "captions": [" ".join(rev.get(w, "?") for w in r) for r in refs]}
+        for i, refs in enumerate(references)
+    ]
+    with open(os.path.join(save_dir, "res.json"), "w") as f:
+        json.dump(res, f)
+    with open(os.path.join(save_dir, "gts.json"), "w") as f:
+        json.dump(gts, f)
+
+
 def evaluate_captions(
     model: Change3D,
     variables,
     loader: DataLoader,
     word_map: Dict[str, int],
     beam_size: int = 1,
+    save_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Batched beam-search eval + caption metric suite + change/no-change split."""
     rev = {v: k for k, v in word_map.items()}
@@ -148,6 +170,8 @@ def evaluate_captions(
             hypotheses.append(hyp)
             references.append(refs)
 
+    if save_dir:
+        save_caption_json(save_dir, word_map, hypotheses, references)
     scores = eval_caption_scores(references, hypotheses)
 
     # Change / no-change split accuracy (ref: train_CC.py:346-376; the canned
@@ -271,7 +295,9 @@ def run_caption_training(args) -> Dict[str, float]:
             f"({time.time() - t0:.1f}s)"
         )
 
-        scores = evaluate_captions(model, state.variables, eval_loader, word_map, cfg.beam_size)
+        scores = evaluate_captions(
+            model, state.variables, eval_loader, word_map, cfg.beam_size, save_dir=save_path
+        )
         logger.log_epoch(epoch, scores)
         ckpt.save(int(jax.device_get(state.step)), state, metrics={"Bleu_4": scores["Bleu_4"]})
         if scores["Bleu_4"] >= best_bleu4:

@@ -119,12 +119,15 @@ def _scd_loss_metrics(outputs, batch, train: bool):
     change_pred = (outputs["change"][..., 0] > 0.5).astype(jnp.int32)
     pre_pred = jnp.argmax(outputs["pre"], axis=-1).astype(jnp.int32) * change_pred
     post_pred = jnp.argmax(outputs["post"], axis=-1).astype(jnp.int32) * change_pred
-    pre_gt = _valid_gt(batch, pre_label)
-    post_gt = _valid_gt(batch, post_label)
-    cm = confusion_matrix(pre_gt, pre_pred, num_classes) + confusion_matrix(
-        post_gt, post_pred, num_classes
+    # Reference hist convention for SCD is hist[pred, label]
+    # (ref: /root/reference/model/utils.py:321-328,345-353 — fast_hist's first
+    # arg is the prediction); padded eval samples are masked via pred -> -1.
+    pre_pr = _valid_gt(batch, pre_pred)
+    post_pr = _valid_gt(batch, post_pred)
+    cm = confusion_matrix(pre_pr, pre_label, num_classes) + confusion_matrix(
+        post_pr, post_label, num_classes
     )
-    valid_px = pre_gt >= 0
+    valid_px = pre_pr >= 0
     correct = jnp.sum((pre_pred == pre_label) & valid_px) + jnp.sum(
         (post_pred == post_label) & valid_px
     )

@@ -63,7 +63,7 @@ def caption_root(tmp_path_factory):
 def test_caption_train_and_beam_eval(caption_root):
     model = Change3D(
         task=Task.CC, vocab_size=len(VOCAB), embed_dim=32, num_heads=4,
-        num_layers=2, backbone_cfg=TINY_CFG,
+        num_layers=2, backbone_cfg=TINY_CFG, in_height=32, in_width=32,
     )
     train_data = CaptionDataset(caption_root, "DS", "TRAIN")
     loader = DataLoader(train_data, 4, shuffle=True, num_workers=1, collate=caption_collate, drop_last=True)

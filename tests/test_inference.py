@@ -1,0 +1,66 @@
+"""Predictor / serving-path tests on tiny models."""
+
+import numpy as np
+
+import jax
+
+from change3d_tpu.inference import Predictor, CaptionPredictor
+from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.models.x3d import X3DConfig
+
+TINY_CFG = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(1, 1, 2, 1),
+    head_dim_out=64,
+    num_classes=10,
+)
+
+H = W = 16
+
+
+def _init(model, **kwargs):
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), x, x, **kwargs)
+
+
+def test_bcd_predictor():
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    pred = Predictor(model, _init(model))
+    rng = np.random.RandomState(0)
+    out = pred.predict(rng.randn(3, H, W, 3).astype(np.float32), rng.randn(3, H, W, 3).astype(np.float32))
+    assert out["change"].shape == (3, H, W)
+    assert out["change"].dtype == bool
+
+
+def test_scd_bda_predictors():
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, H, W, 3).astype(np.float32)
+    b = rng.randn(2, H, W, 3).astype(np.float32)
+    scd = Change3D(task=Task.SCD, num_classes=6, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    out = Predictor(scd, _init(scd)).predict(a, b)
+    assert out["pre"].shape == (2, H, W) and out["pre"].max() < 6
+    assert out["change"].dtype == bool
+    bda = Change3D(task=Task.BDA, num_classes=5, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    out = Predictor(bda, _init(bda)).predict(a, b)
+    assert out["cls"].shape == (2, H, W) and out["loc"].dtype == bool
+
+
+def test_caption_predictor():
+    import jax.numpy as jnp
+
+    wm = {"<pad>": 0, "<unk>": 1, "<start>": 2, "<end>": 3, "road": 4, "built": 5}
+    model = Change3D(
+        task=Task.CC, vocab_size=len(wm), embed_dim=32, num_heads=4, num_layers=1,
+        in_height=H, in_width=W, backbone_cfg=TINY_CFG,
+    )
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, captions=jnp.zeros((1, 4), jnp.int32))
+    pred = CaptionPredictor(model, variables, wm, beam_size=2)
+    rng = np.random.RandomState(0)
+    captions = pred.caption(rng.randn(2, H, W, 3).astype(np.float32), rng.randn(2, H, W, 3).astype(np.float32))
+    assert len(captions) == 2
+    assert all(isinstance(c, str) for c in captions)
