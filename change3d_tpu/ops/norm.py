@@ -56,16 +56,20 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
 
+        # a/b are tiny [C] vectors computed in fp32, then the scale/shift runs
+        # in the activation dtype so XLA fuses it into the neighboring conv
+        # instead of emitting full-tensor f32 convert passes (for fp32
+        # activations this is numerically identical to the fp32 path).
         a = scale * jax.lax.rsqrt(var + self.eps)
         b = bias - mean * a
-        return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
 def batch_norm_inference(x: jax.Array, scale, bias, mean, var, eps: float = 1e-5) -> jax.Array:
     """Stateless eval-mode BN for folded/functional paths."""
     a = scale * jax.lax.rsqrt(var + eps)
     b = bias - mean * a
-    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+    return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
 def fold_bn_into_conv(kernel: jax.Array, scale, bias, mean, var, eps: float = 1e-5):
