@@ -16,6 +16,7 @@ over mechanically:
 from __future__ import annotations
 
 import argparse
+import os
 
 from change3d_tpu.train.loop import RunConfig, run_detection_training
 
@@ -73,7 +74,63 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--grad_clip", type=float, default=5.0)
     cc.add_argument("--beam_size", type=int, default=1)
     cc.set_defaults(batch_size=32, lr=1e-4)
+
+    pred = sub.add_parser("predict", help="batch inference: write masks for a directory of pairs")
+    pred.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    pred.add_argument("--checkpoint", required=True, help="experiment dir containing best/")
+    pred.add_argument("--file_root", required=True)
+    pred.add_argument("--split", default="test")
+    pred.add_argument("--out", required=True, help="output directory for PNG masks")
+    pred.add_argument("--num_class", type=int, default=1)
+    pred.add_argument("--in_height", type=int, default=256)
+    pred.add_argument("--in_width", type=int, default=256)
+    pred.add_argument("--batch_size", type=int, default=16)
     return parser
+
+
+def run_predict(args):
+    """Write per-image prediction masks (PNG) for every pair in a split."""
+    import cv2
+    import numpy as np
+
+    from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
+    from change3d_tpu.data.pipeline import DataLoader, pair_collate
+    from change3d_tpu.data.transforms import make_transform_pipelines
+    from change3d_tpu.inference import Predictor
+    from change3d_tpu.train.loop import build_model, RunConfig
+
+    cfg = RunConfig(
+        task=args.model_task, num_classes=args.num_class,
+        in_height=args.in_height, in_width=args.in_width,
+    )
+    model = build_model(cfg)
+    predictor = Predictor.from_checkpoint(model, args.checkpoint)
+    ds_cls = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}[args.model_task]
+    _, eval_tf = make_transform_pipelines(args.model_task, args.in_width, args.in_height)
+    ds = ds_cls(args.file_root, args.split, eval_tf)
+    names = [os.path.basename(p) for p in ds.pre_images]
+    loader = DataLoader(ds, args.batch_size, num_workers=2, collate=pair_collate, pad_final=True)
+    os.makedirs(args.out, exist_ok=True)
+    idx = 0
+    for batch in loader:
+        valid = batch.pop("valid")
+        out = predictor.predict(batch["pre"], batch["post"])
+        for i in range(len(valid)):
+            if not valid[i]:
+                continue
+            name = os.path.splitext(names[idx])[0]
+            if args.model_task == "bcd":
+                cv2.imwrite(os.path.join(args.out, f"{name}.png"), out["change"][i].astype(np.uint8) * 255)
+            elif args.model_task == "scd":
+                change = out["change"][i]
+                cv2.imwrite(os.path.join(args.out, f"{name}_pre.png"), (out["pre"][i] * change).astype(np.uint8))
+                cv2.imwrite(os.path.join(args.out, f"{name}_post.png"), (out["post"][i] * change).astype(np.uint8))
+                cv2.imwrite(os.path.join(args.out, f"{name}_change.png"), change.astype(np.uint8) * 255)
+            else:
+                cv2.imwrite(os.path.join(args.out, f"{name}_loc.png"), out["loc"][i].astype(np.uint8) * 255)
+                cv2.imwrite(os.path.join(args.out, f"{name}_cls.png"), out["cls"][i].astype(np.uint8))
+            idx += 1
+    print(f"wrote {idx} predictions to {args.out}")
 
 
 def main(argv=None):
@@ -107,6 +164,8 @@ def main(argv=None):
         from change3d_tpu.train.caption_loop import run_caption_training
 
         return run_caption_training(args)
+    elif args.task == "predict":
+        return run_predict(args)
 
 
 if __name__ == "__main__":

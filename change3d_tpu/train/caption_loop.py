@@ -75,6 +75,7 @@ class CaptionRunConfig:
     pretrained: Optional[str] = None
     resume: bool = False
     eval_split: str = "TEST"
+    fine_tune_encoder: bool = True  # ref: train_CC.py:645 (False freezes the encoder)
 
 
 def load_word_map(cfg: CaptionRunConfig) -> Dict[str, int]:
@@ -255,6 +256,10 @@ def run_caption_training(args) -> Dict[str, float]:
     tx = torch_adam(
         schedule, weight_decay=cfg.weight_decay, grad_clip_value=cfg.grad_clip
     )
+    if not cfg.fine_tune_encoder:
+        from change3d_tpu.train.optim import freeze_subtree
+
+        tx = freeze_subtree(tx, "encoder")
 
     sample = next(iter(eval_loader))
     sample.pop("valid", None)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import optax
 
 
@@ -34,3 +35,18 @@ def torch_adam(
     parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     parts.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*parts)
+
+
+def freeze_subtree(tx: optax.GradientTransformation, frozen_prefix: str) -> optax.GradientTransformation:
+    """Zero all updates under a top-level param subtree (the reference's
+    ``fine_tune_encoder=False`` mode, ref: /root/reference/scripts/train_CC.py:439-448:
+    the encoder optimizer simply isn't created)."""
+
+    def label(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if str(path[0].key) == frozen_prefix else "train", params
+        )
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label
+    )

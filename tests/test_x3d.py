@@ -16,7 +16,7 @@ from change3d_tpu.checkpoint.convert import (
     x3d_torch_key_map,
 )
 
-from torch_oracle import make_random_x3d_state_dict, oracle_run_blocks
+from torch_oracle import make_random_x3d_state_dict, oracle_run_blocks, oracle_head
 
 
 def test_x3d_l_config_matches_reference_instantiation():
@@ -49,8 +49,10 @@ def _tiny_cfg():
     )
 
 
-@pytest.mark.parametrize("cfg_name", ["tiny", "full"])
-@pytest.mark.parametrize("scan", [False, True])
+@pytest.mark.parametrize(
+    "cfg_name,scan",
+    [("tiny", False), ("tiny", True), ("full", True)],  # full/unroll adds only runtime
+)
 def test_converter_covers_all_keys(cfg_name, scan):
     cfg = _tiny_cfg() if cfg_name == "tiny" else x3d_l_config()
     cfg = dataclasses.replace(cfg, scan_blocks=scan)
@@ -112,6 +114,20 @@ def test_x3d_forward_matches_torch_oracle_tiny(scan):
             np.asarray(o), r.numpy().transpose(0, 2, 3, 4, 1), rtol=2e-3, atol=2e-4,
             err_msg=f"block {i}",
         )
+
+
+def test_x3d_classification_head_matches_oracle():
+    # Kinetics video-classification capability (head kept for checkpoint
+    # parity; never on a Change3D task path).
+    cfg = dataclasses.replace(_tiny_cfg(), scan_blocks=False)
+    sd = make_random_x3d_state_dict(cfg, seed=5)
+    variables = convert_x3d_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    model = X3D(cfg)
+    x = np.random.RandomState(6).randn(2, 3, 16, 16, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    ref = oracle_head(oracle_run_blocks(xt, sd, cfg)[-1], sd, cfg)
+    got = model.apply(variables, jnp.asarray(x), classify=True)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=2e-3, atol=2e-4)
 
 
 def test_x3d_full_param_count():

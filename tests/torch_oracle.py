@@ -108,6 +108,17 @@ def oracle_block(x, sd, p, stride, has_se):
     return F.relu(shortcut + b)
 
 
+def oracle_head(x, sd, cfg: X3DConfig):
+    """Kinetics head: pre_conv -> BN/ReLU -> global avg pool -> post_conv ->
+    ReLU -> Linear -> global average (eval mode, dropout off)."""
+    x = F.relu(_bn(F.conv3d(x, sd["blocks.5.pool.pre_conv.weight"]), sd, "blocks.5.pool.pre_norm"))
+    x = x.mean(dim=(2, 3, 4), keepdim=True)
+    x = F.relu(F.conv3d(x, sd["blocks.5.pool.post_conv.weight"]))
+    x = x.permute(0, 2, 3, 4, 1)
+    x = x @ sd["blocks.5.proj.weight"].T + sd["blocks.5.proj.bias"]
+    return x.mean(dim=(1, 2, 3))
+
+
 def oracle_run_blocks(x, sd, cfg: X3DConfig, num_blocks: int = 5):
     """x: torch [B, 3, T, H, W]. Returns list of outputs of blocks 0..num_blocks-1."""
     outs = []
