@@ -92,6 +92,9 @@ class X3DConfig:
     # unrolled 55-block train step takes minutes. Identical math; parameters
     # of scanned blocks are stacked along a leading axis.
     scan_blocks: bool = True
+    # Run eligible stride-1 blocks as one fused Pallas kernel at eval time
+    # (ops/pallas/fused_block.py). Same parameter tree; inference only.
+    fused_inference: bool = False
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -155,11 +158,13 @@ class SqueezeExcite(nn.Module):
     reduced_dim: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x, return_params: bool = False):
         w_r = self.param("w_reduce", torch_conv_kernel_init, (self.dim, self.reduced_dim))
         b_r = self.param("b_reduce", nn.initializers.zeros, (self.reduced_dim,))
         w_e = self.param("w_expand", torch_conv_kernel_init, (self.reduced_dim, self.dim))
         b_e = self.param("b_expand", nn.initializers.zeros, (self.dim,))
+        if return_params:
+            return w_r, b_r, w_e, b_e
         return squeeze_excite_3d(x, w_r, b_r, w_e, b_e)
 
 
@@ -176,9 +181,34 @@ class X3DBottleneck(nn.Module):
     bn_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, fused_residual: bool = False) -> jax.Array:
+        """``fused_residual=True`` (eval, stride-1, dim-preserving only) runs
+        the whole block INCLUDING the residual add + ReLU as one Pallas
+        kernel (see ops/pallas/fused_block.py). Same parameter tree."""
         bn = lambda name: BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
         conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
+
+        if fused_residual:
+            assert not train and self.stride == (1, 1, 1) and self.dim_in == self.dim_out
+            from change3d_tpu.ops.pallas.fused_block import fused_bottleneck_block
+
+            zi = jnp.zeros((1, self.dim_inner), x.dtype)
+            zo = jnp.zeros((1, self.dim_out), x.dtype)
+            a_a, b_a = bn("bn_a")(zi, use_running_average=True, return_folded=True)
+            conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
+            a_b, b_b = bn("bn_b")(zi, use_running_average=True, return_folded=True)
+            se = None
+            if self.se_reduced_dim > 0:
+                se = SqueezeExcite(self.dim_inner, self.se_reduced_dim, name="se")(
+                    None, return_params=True
+                )
+            conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
+            a_c, b_c = bn("bn_c")(zo, use_running_average=True, return_folded=True)
+            return fused_bottleneck_block(
+                x, conv_a, a_a, b_a, conv_b[:, :, :, 0, :], a_b, b_b,
+                conv_c, a_c, b_c, se,
+            )
+
         x = pointwise_conv3d(x, conv_a)
         x = jax.nn.relu(bn("bn_a")(x, use_running_average=not train))
 
@@ -209,9 +239,28 @@ class X3DResBlock(nn.Module):
     se_reduced_dim: int
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    fused_inference: bool = False
+
+    # Per-sample VMEM budget for the fused kernel's padded inner tensor (f32).
+    _FUSED_VMEM_LIMIT = 4 * 1024 * 1024
+
+    def _can_fuse(self, x, train: bool) -> bool:
+        if not self.fused_inference or train:
+            return False
+        if self.dim_in != self.dim_out or any(s > 1 for s in self.stride):
+            return False
+        t, h, w = x.shape[1], x.shape[2], x.shape[3]
+        padded_bytes = (t + 2) * (h + 2) * (w + 2) * self.dim_inner * 4
+        return padded_bytes <= self._FUSED_VMEM_LIMIT
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if self._can_fuse(x, train):
+            return X3DBottleneck(
+                self.dim_in, self.dim_inner, self.dim_out, self.stride,
+                self.se_reduced_dim, self.bn_momentum, self.bn_eps,
+                name="bottleneck",
+            )(x, train=False, fused_residual=True)
         needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
         shortcut = x
         if needs_proj:
@@ -244,12 +293,14 @@ class BlockPair(nn.Module):
     bn_momentum: float
     bn_eps: float
     train: bool
+    fused_inference: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         common = dict(
             dim_in=self.dim, dim_inner=self.dim_inner, dim_out=self.dim,
             stride=(1, 1, 1), bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            fused_inference=self.fused_inference,
         )
         x = X3DResBlock(se_reduced_dim=0, name="a", **common)(x, train=self.train)
         x = X3DResBlock(se_reduced_dim=self.se_reduced_dim, name="b", **common)(
@@ -294,6 +345,7 @@ class X3DStage(nn.Module):
                 se_reduced_dim=se_dim if (b + 1) % 2 else 0,
                 bn_momentum=cfg.bn_momentum,
                 bn_eps=cfg.bn_eps,
+                fused_inference=cfg.fused_inference,
                 name=f"block{b}",
             )
 
@@ -308,6 +360,7 @@ class X3DStage(nn.Module):
                 length=n_pairs,
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
+                cfg.fused_inference,
                 name="pairs",
             )
             x, _ = scanned(x, None)

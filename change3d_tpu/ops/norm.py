@@ -34,12 +34,21 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, use_running_average: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, *, use_running_average: bool, return_folded: bool = False
+    ):
+        """``return_folded=True`` declares the same variables but returns the
+        eval-mode per-channel (a, b) fold vectors instead of normalizing x
+        (x supplies only the channel count) — used by fused Pallas blocks."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if return_folded:
+            a = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            return a, bias - ra_mean.value * a
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

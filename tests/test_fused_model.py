@@ -1,0 +1,47 @@
+"""Full-model equivalence: fused_inference Pallas path vs standard XLA path."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.models.x3d import X3D, X3DConfig
+
+
+TINY = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(2, 3, 3, 2),
+    head_dim_out=64,
+    num_classes=10,
+)
+
+
+def test_fused_inference_matches_standard():
+    cfg = TINY
+    cfg_fused = dataclasses.replace(cfg, fused_inference=True)
+    model = X3D(cfg)
+    model_fused = X3D(cfg_fused)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # Same parameter tree either way.
+    vf = model_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(variables)
+
+    ref = model.apply(variables, x)
+    got = model_fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-3, atol=3e-4)
+
+
+def test_fused_inference_skips_when_too_large():
+    # Inner tensor above the VMEM budget must fall back to the XLA path and
+    # still produce identical results.
+    cfg_fused = dataclasses.replace(TINY, fused_inference=True)
+    model = X3D(cfg_fused)
+    x = jnp.zeros((1, 3, 128, 128, 3), jnp.float32)  # stage1 inner too big to fuse
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert np.all(np.isfinite(np.asarray(out)))
