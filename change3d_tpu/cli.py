@@ -36,6 +36,7 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true", help="rematerialize block pairs (memory for FLOPs)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -158,6 +159,7 @@ def main(argv=None):
             num_workers=args.num_workers,
             seed=args.seed,
             compute_dtype=args.compute_dtype,
+            remat=args.remat,
         )
         return run_detection_training(cfg)
     elif args.task == "cc":

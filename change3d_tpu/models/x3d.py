@@ -95,6 +95,9 @@ class X3DConfig:
     # Run eligible stride-1 blocks as one fused Pallas kernel at eval time
     # (ops/pallas/fused_block.py). Same parameter tree; inference only.
     fused_inference: bool = False
+    # Rematerialize stage activations in the backward pass (jax.checkpoint):
+    # trades FLOPs for memory, enabling larger per-chip batches at 256^2.
+    remat: bool = False
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -353,8 +356,11 @@ class X3DStage(nn.Module):
         rest = depth - 1
         n_pairs = rest // 2
         if cfg.scan_blocks and n_pairs > 0:
+            # remat-of-scan: recompute each block pair in the backward pass —
+            # the standard memory-efficient deep-residual pattern.
+            pair_cls = nn.remat(BlockPair) if cfg.remat else BlockPair
             scanned = nn.scan(
-                BlockPair,
+                pair_cls,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True},
                 length=n_pairs,

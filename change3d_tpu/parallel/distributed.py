@@ -1,0 +1,45 @@
+"""Multi-host / multi-slice initialization.
+
+Single-slice TPU pods need nothing: `jax.devices()` sees every chip over ICI
+and the data mesh in `mesh.py` spans them. Across slices (DCN) or on GPU/CPU
+clusters, call `initialize()` once per process before any jax usage; the
+Mesh helpers then operate on the global device set transparently. This is
+the whole "communication backend": XLA emits the collectives, ICI carries
+intra-slice traffic, DCN the rest (SURVEY.md §2.5 — the reference has no
+distribution layer at all).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Idempotent jax.distributed.initialize with env-var fallbacks
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID)."""
+    import jax
+
+    if getattr(initialize, "_done", False):
+        return
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        # Single-process (one host controls the slice) — nothing to do.
+        initialize._done = True
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
+        process_id=process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0")),
+    )
+    initialize._done = True
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0

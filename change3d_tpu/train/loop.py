@@ -55,6 +55,7 @@ class RunConfig:
     seed: int = 16
     log_name: str = "train_val_log"
     compute_dtype: str = "float32"
+    remat: bool = False  # jax.checkpoint over block pairs: memory for FLOPs
     # CC-specific
     vocab_size: int = 0
     embed_dim: int = 192
@@ -70,6 +71,11 @@ _BEST_METRIC = {"bcd": "F1", "scd": "IoU_mean", "bda": "overall_f1"}
 
 
 def build_model(cfg: RunConfig) -> Change3D:
+    import dataclasses as _dc
+
+    from change3d_tpu.models.x3d import x3d_l_config
+
+    backbone = _dc.replace(x3d_l_config(), remat=cfg.remat) if cfg.remat else None
     return Change3D(
         task=Task(cfg.task),
         num_classes=cfg.num_classes,
@@ -80,6 +86,7 @@ def build_model(cfg: RunConfig) -> Change3D:
         num_heads=cfg.n_head,
         num_layers=cfg.n_layer,
         dropout=cfg.dropout,
+        backbone_cfg=backbone,
     )
 
 
@@ -179,18 +186,15 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
-        meter = _make_meter(cfg.task, cfg.num_classes)
         t0 = time.time()
+        last_metrics = None
         losses = []
-        for batch in device_prefetch(train_loader, bsh):
-            state, metrics = train_step(state, batch, step_rng)
-            if len(losses) % 50 == 0:
-                metrics = jax.device_get(metrics)
-                losses.append(float(metrics.pop("loss")))
-                _update_meter(cfg.task, meter, metrics)
-            else:
-                losses.append(None)
-        losses = [l for l in losses if l is not None]
+        for i, batch in enumerate(device_prefetch(train_loader, bsh)):
+            state, last_metrics = train_step(state, batch, step_rng)
+            if i % 50 == 0:  # periodic host sync only; keeps the device queue full
+                losses.append(float(jax.device_get(last_metrics["loss"])))
+        if last_metrics is not None:
+            losses.append(float(jax.device_get(last_metrics["loss"])))
         print(f"[epoch {epoch}] train loss {np.mean(losses):.4f} ({time.time() - t0:.1f}s)")
 
         if epoch == 0:
