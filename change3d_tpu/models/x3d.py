@@ -95,6 +95,11 @@ class X3DConfig:
     # Run eligible stride-1 blocks as one fused Pallas kernel at eval time
     # (ops/pallas/fused_block.py). Same parameter tree; inference only.
     fused_inference: bool = False
+    # Also use the H-tiled halo-DMA kernel for blocks too large for VMEM
+    # (stages 1-2). Off by default: this environment's remote-compile service
+    # crashes on Pallas manual DMAs (minimal repro: tests/manual_dma_probe);
+    # enable on standard TPU stacks.
+    fused_htiled: bool = False
     # Rematerialize stage activations in the backward pass (jax.checkpoint):
     # trades FLOPs for memory, enabling larger per-chip batches at 256^2.
     remat: bool = False
@@ -184,16 +189,22 @@ class X3DBottleneck(nn.Module):
     bn_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool, fused_residual: bool = False) -> jax.Array:
-        """``fused_residual=True`` (eval, stride-1, dim-preserving only) runs
-        the whole block INCLUDING the residual add + ReLU as one Pallas
-        kernel (see ops/pallas/fused_block.py). Same parameter tree."""
+    def __call__(
+        self, x: jax.Array, *, train: bool, fused_residual: Optional[str] = None
+    ) -> jax.Array:
+        """``fused_residual`` in {'full', 'htiled'} (eval, stride-1,
+        dim-preserving only) runs the whole block INCLUDING the residual
+        add + ReLU as one Pallas kernel (see ops/pallas/fused_block.py).
+        Same parameter tree."""
         bn = lambda name: BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
         conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
 
         if fused_residual:
             assert not train and self.stride == (1, 1, 1) and self.dim_in == self.dim_out
-            from change3d_tpu.ops.pallas.fused_block import fused_bottleneck_block
+            from change3d_tpu.ops.pallas.fused_block import (
+                fused_bottleneck_block,
+                fused_bottleneck_block_htiled,
+            )
 
             zi = jnp.zeros((1, self.dim_inner), x.dtype)
             zo = jnp.zeros((1, self.dim_out), x.dtype)
@@ -207,10 +218,10 @@ class X3DBottleneck(nn.Module):
                 )
             conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
             a_c, b_c = bn("bn_c")(zo, use_running_average=True, return_folded=True)
-            return fused_bottleneck_block(
-                x, conv_a, a_a, b_a, conv_b[:, :, :, 0, :], a_b, b_b,
-                conv_c, a_c, b_c, se,
-            )
+            args = (x, conv_a, a_a, b_a, conv_b[:, :, :, 0, :], a_b, b_b, conv_c, a_c, b_c, se)
+            if fused_residual == "htiled":
+                return fused_bottleneck_block_htiled(*args, h_tile=16)
+            return fused_bottleneck_block(*args)
 
         x = pointwise_conv3d(x, conv_a)
         x = jax.nn.relu(bn("bn_a")(x, use_running_average=not train))
@@ -243,27 +254,33 @@ class X3DResBlock(nn.Module):
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     fused_inference: bool = False
+    fused_htiled: bool = False
 
     # Per-sample VMEM budget for the fused kernel's padded inner tensor (f32).
     _FUSED_VMEM_LIMIT = 4 * 1024 * 1024
 
-    def _can_fuse(self, x, train: bool) -> bool:
+    def _fuse_mode(self, x, train: bool):
         if not self.fused_inference or train:
-            return False
+            return None
         if self.dim_in != self.dim_out or any(s > 1 for s in self.stride):
-            return False
+            return None
         t, h, w = x.shape[1], x.shape[2], x.shape[3]
         padded_bytes = (t + 2) * (h + 2) * (w + 2) * self.dim_inner * 4
-        return padded_bytes <= self._FUSED_VMEM_LIMIT
+        if padded_bytes <= self._FUSED_VMEM_LIMIT:
+            return "full"
+        if self.fused_htiled and h % 16 == 0 and h >= 32:
+            return "htiled"
+        return None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        if self._can_fuse(x, train):
+        mode = self._fuse_mode(x, train)
+        if mode:
             return X3DBottleneck(
                 self.dim_in, self.dim_inner, self.dim_out, self.stride,
                 self.se_reduced_dim, self.bn_momentum, self.bn_eps,
                 name="bottleneck",
-            )(x, train=False, fused_residual=True)
+            )(x, train=False, fused_residual=mode)
         needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
         shortcut = x
         if needs_proj:
@@ -297,6 +314,7 @@ class BlockPair(nn.Module):
     bn_eps: float
     train: bool
     fused_inference: bool = False
+    fused_htiled: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -304,6 +322,7 @@ class BlockPair(nn.Module):
             dim_in=self.dim, dim_inner=self.dim_inner, dim_out=self.dim,
             stride=(1, 1, 1), bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
             fused_inference=self.fused_inference,
+            fused_htiled=self.fused_htiled,
         )
         x = X3DResBlock(se_reduced_dim=0, name="a", **common)(x, train=self.train)
         x = X3DResBlock(se_reduced_dim=self.se_reduced_dim, name="b", **common)(
@@ -349,6 +368,7 @@ class X3DStage(nn.Module):
                 bn_momentum=cfg.bn_momentum,
                 bn_eps=cfg.bn_eps,
                 fused_inference=cfg.fused_inference,
+                fused_htiled=cfg.fused_htiled,
                 name=f"block{b}",
             )
 
@@ -366,7 +386,7 @@ class X3DStage(nn.Module):
                 length=n_pairs,
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
-                cfg.fused_inference,
+                cfg.fused_inference, cfg.fused_htiled,
                 name="pairs",
             )
             x, _ = scanned(x, None)

@@ -71,6 +71,166 @@ def _kernel(x_ref, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
     out_ref[0] = y.astype(x.dtype)
 
 
+def _halo_body(x_hbm, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
+               scratch, sem, h_tile: int):
+    """Shared phase: DMA an H-halo tile of x into VMEM (manual, clamped at
+    the image edges), then compute through conv_a+BN+ReLU and the depthwise
+    3x3x3 + BN. Returns (x_core [T,h,W,Cin] f-sliceable, xb [T,h,W,Ci] f32).
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    t_dim, h_full, w_dim, c_in = x_hbm.shape[1], x_hbm.shape[2], x_hbm.shape[3], x_hbm.shape[4]
+
+    # Desired logical rows: [j*h_tile - 1, j*h_tile + h_tile + 1). The DMA
+    # start is clamped into the image; edge tiles come back shifted by one
+    # row, fixed below with an in-VMEM shift + zero halo (needs n_j >= 2).
+    start = jnp.maximum(j * h_tile - 1, 0)
+    start = jnp.minimum(start, h_full - (h_tile + 2))
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(start, h_tile + 2)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+
+    raw = scratch[:]  # [T, h_tile+2, W, Cin]
+    zero_row = jnp.zeros_like(raw[:, :1])
+    shifted_down = jnp.concatenate([zero_row, raw[:, : h_tile + 1]], axis=1)  # j == 0
+    shifted_up = jnp.concatenate([raw[:, 1:], zero_row], axis=1)  # j == n_j-1
+    is_first = (j == 0)
+    is_last = (j == n_j - 1)
+    x = jnp.where(is_first, shifted_down, jnp.where(is_last, shifted_up, raw))
+    hh = h_tile + 2
+    c_inner = wa_ref.shape[1]
+    xa = jnp.dot(x.reshape(t_dim * hh * w_dim, c_in), wa_ref[:], preferred_element_type=jnp.float32)
+    xa = jnp.maximum(xa * aa_ref[:] + ba_ref[:], 0.0).astype(x.dtype)
+    xa = xa.reshape(t_dim, hh, w_dim, c_inner)
+    # The depthwise conv zero-pads in xa-space (post conv_a/BN/ReLU), so the
+    # out-of-image halo rows must be zero *here*, not in x-space (conv_a+BN
+    # maps zeros to relu(b_a) != 0).
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hh, 1, 1), 1)
+    halo_oob = (is_first & (row == 0)) | (is_last & (row == hh - 1))
+    xa = jnp.where(halo_oob, 0.0, xa).astype(x.dtype)
+    # pad T (zero-pad conv semantics) and W (image edge) inside VMEM
+    xp = jnp.pad(xa, ((1, 1), (0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((t_dim, h_tile, w_dim, c_inner), jnp.float32)
+    for dt in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                tap = wdw_ref[dt, dy, dx]
+                acc += xp[dt : dt + t_dim, dy : dy + h_tile, dx : dx + w_dim].astype(jnp.float32) * tap
+    xb = acc * ab_ref[:] + bb_ref[:]
+    return x, xb
+
+
+def _kernel_htiled(x_hbm, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
+                   gate_ref, wc_ref, ac_ref, bc_ref, out_ref, scratch, sem,
+                   *, h_tile: int, has_se: bool):
+    """H-tiled fused block for big early stages. x stays in HBM (ANY) and is
+    halo-DMA'd per tile; SE gates (global reduction) are precomputed per
+    batch element (two-phase) and passed via gate_ref [B, Ci]."""
+    b = pl.program_id(0)
+    x, xb = _halo_body(x_hbm, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
+                       scratch, sem, h_tile)
+    t_dim, _, w_dim, c_in = x.shape
+    c_inner = xb.shape[-1]
+    if has_se:
+        xb = xb * gate_ref[b]
+    xs = (xb * jax.nn.sigmoid(xb)).astype(x.dtype)
+    xc = jnp.dot(xs.reshape(t_dim * h_tile * w_dim, c_inner), wc_ref[:], preferred_element_type=jnp.float32)
+    xc = (xc * ac_ref[:] + bc_ref[:]).reshape(t_dim, h_tile, w_dim, c_in)
+    res = x[:, 1 : 1 + h_tile].astype(jnp.float32)
+    out_ref[0] = jnp.maximum(xc + res, 0.0).astype(x.dtype)
+
+
+def _kernel_se_sums(x_hbm, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
+                    out_ref, scratch, sem, *, h_tile: int):
+    """Phase 1 of SE for H-tiled blocks: per-(batch, tile) sum of xb,
+    written into an (8, 128)-aligned tile (row 0, first Ci lanes)."""
+    _, xb = _halo_body(x_hbm, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
+                       scratch, sem, h_tile)
+    c_inner = xb.shape[-1]
+    s = jnp.sum(xb.reshape(-1, c_inner), axis=0, keepdims=True)  # [1, Ci]
+    lanes = out_ref.shape[-1]
+    s_pad = jnp.pad(s, ((0, 0), (0, lanes - c_inner)))
+    out_ref[0, 0] = jnp.broadcast_to(s_pad, (out_ref.shape[-2], lanes))
+
+
+def fused_bottleneck_block_htiled(
+    x: jax.Array,
+    w_a: jax.Array, a_a: jax.Array, b_a: jax.Array,
+    w_dw: jax.Array, a_b: jax.Array, b_b: jax.Array,
+    w_c: jax.Array, a_c: jax.Array, b_c: jax.Array,
+    se: Optional[tuple] = None,
+    *,
+    h_tile: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """H-tiled fused block for stages whose inner tensor exceeds VMEM
+    (stage 1/2 at 128^2/64^2). x stays in HBM; each grid cell halo-DMAs
+    [T, h_tile+2, W, C]. SE runs two-phase (partial sums -> gate -> apply),
+    re-running the cheap front half instead of materializing the inner
+    tensor in HBM."""
+    b_dim, t, h, w, c = x.shape
+    assert h % h_tile == 0 and h // h_tile >= 2, (h, h_tile)
+    c_inner = w_a.shape[1]
+    n_j = h // h_tile
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    front_args = (
+        x,
+        w_a.astype(x.dtype), a_a.astype(jnp.float32), b_a.astype(jnp.float32),
+        w_dw.astype(jnp.float32), a_b.astype(jnp.float32), b_b.astype(jnp.float32),
+    )
+    front_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem()] * 6
+    scratch_shapes = [
+        pltpu.VMEM((t, h_tile + 2, w, c), x.dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    if se is not None:
+        w1, b1, w2, b2 = se
+        lanes = max(128, -(-c_inner // 128) * 128)
+        sums = pl.pallas_call(
+            functools.partial(_kernel_se_sums, h_tile=h_tile),
+            grid=(b_dim, n_j),
+            in_specs=front_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, lanes), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_dim, n_j, 8, lanes), jnp.float32),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*front_args)
+        mean = jnp.sum(sums[:, :, 0, :c_inner], axis=1) / (t * h * w)  # [B, Ci]
+        g1 = jnp.maximum(mean @ w1.astype(jnp.float32) + b1.astype(jnp.float32), 0.0)
+        gate = jax.nn.sigmoid(g1 @ w2.astype(jnp.float32) + b2.astype(jnp.float32))
+    else:
+        gate = jnp.ones((b_dim, c_inner), jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_htiled, h_tile=h_tile, has_se=se is not None),
+        grid=(b_dim, n_j),
+        in_specs=front_specs + [vmem(), vmem(), vmem(), vmem()],
+        out_specs=pl.BlockSpec(
+            (1, t, h_tile, w, c), lambda b, j: (b, 0, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_dim * t * h * w * c_inner * (2 * c + 27),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b_dim * t * h * w * c_inner,
+        ),
+        interpret=interpret,
+    )(
+        *front_args,
+        gate,
+        w_c.astype(x.dtype), a_c.astype(jnp.float32), b_c.astype(jnp.float32),
+    )
+
+
 def fused_bottleneck_block(
     x: jax.Array,
     w_a: jax.Array, a_a: jax.Array, b_a: jax.Array,
