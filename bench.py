@@ -35,8 +35,15 @@ def main():
 
     enable_compilation_cache()
 
+    import dataclasses
+
+    from change3d_tpu.models.x3d import x3d_l_config
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    model = Change3D(task=Task.BCD, in_height=256, in_width=256)
+    # Time-packed stage 1 (ops/packed.py): measured +10% on this chip
+    # (478 vs 433 pairs/s); equality-tested against the standard path.
+    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
+    model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
     rng = jax.random.PRNGKey(0)
     pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     post = jax.random.normal(jax.random.PRNGKey(2), (batch, 256, 256, 3), jnp.bfloat16)

@@ -103,6 +103,10 @@ class X3DConfig:
     # Rematerialize stage activations in the backward pass (jax.checkpoint):
     # trades FLOPs for memory, enabling larger per-chip batches at 256^2.
     remat: bool = False
+    # Eval-time time-packed execution for the listed stage indices (0-based):
+    # activations run as [B, H, W, C*T] with dense banded kernels — measured
+    # 1.99x on the stem+stage1 segment (ops/packed.py, ARCHITECTURE.md).
+    packed_eval_stages: Tuple[int, ...] = ()
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -190,14 +194,55 @@ class X3DBottleneck(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, train: bool, fused_residual: Optional[str] = None
+        self,
+        x: jax.Array,
+        *,
+        train: bool,
+        fused_residual: Optional[str] = None,
+        packed: bool = False,
     ) -> jax.Array:
         """``fused_residual`` in {'full', 'htiled'} (eval, stride-1,
         dim-preserving only) runs the whole block INCLUDING the residual
         add + ReLU as one Pallas kernel (see ops/pallas/fused_block.py).
-        Same parameter tree."""
+        ``packed=True`` (eval only) consumes/produces time-packed
+        [B, H, W, C*T] activations with dense banded kernels (ops/packed.py).
+        Either way the parameter tree is identical."""
         bn = lambda name: BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
         conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
+
+        if packed:
+            assert not train and self.stride[0] == 1
+            from change3d_tpu.ops import packed as pk
+
+            s = self.stride[1]
+            zi = jnp.zeros((1, self.dim_inner), x.dtype)
+            zo = jnp.zeros((1, self.dim_out), x.dtype)
+            a_a, b_a = bn("bn_a")(zi, use_running_average=True, return_folded=True)
+            h = pk.conv2d_packed(x, pk.expand_pointwise(conv_a))
+            h = jax.nn.relu(
+                h * pk.repeat_per_channel(a_a).astype(h.dtype)
+                + pk.repeat_per_channel(b_a).astype(h.dtype)
+            )
+            conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
+            a_b, b_b = bn("bn_b")(zi, use_running_average=True, return_folded=True)
+            h = pk.conv2d_packed(h, pk.expand_depthwise(conv_b[:, :, :, 0, :]), stride=s, padding=1)
+            h = (
+                h * pk.repeat_per_channel(a_b).astype(h.dtype)
+                + pk.repeat_per_channel(b_b).astype(h.dtype)
+            )
+            if self.se_reduced_dim > 0:
+                w_r, b_r, w_e, b_e = SqueezeExcite(
+                    self.dim_inner, self.se_reduced_dim, name="se"
+                )(None, return_params=True)
+                h = pk.se_packed(h, w_r, b_r, w_e, b_e)
+            h = swish(h)
+            conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
+            a_c, b_c = bn("bn_c")(zo, use_running_average=True, return_folded=True)
+            h = pk.conv2d_packed(h, pk.expand_pointwise(conv_c))
+            return (
+                h * pk.repeat_per_channel(a_c).astype(h.dtype)
+                + pk.repeat_per_channel(b_c).astype(h.dtype)
+            )
 
         if fused_residual:
             assert not train and self.stride == (1, 1, 1) and self.dim_in == self.dim_out
@@ -273,23 +318,43 @@ class X3DResBlock(nn.Module):
         return None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        mode = self._fuse_mode(x, train)
-        if mode:
-            return X3DBottleneck(
-                self.dim_in, self.dim_inner, self.dim_out, self.stride,
-                self.se_reduced_dim, self.bn_momentum, self.bn_eps,
-                name="bottleneck",
-            )(x, train=False, fused_residual=mode)
+    def __call__(self, x: jax.Array, *, train: bool, packed: bool = False) -> jax.Array:
+        if not packed:
+            mode = self._fuse_mode(x, train)
+            if mode:
+                return X3DBottleneck(
+                    self.dim_in, self.dim_inner, self.dim_out, self.stride,
+                    self.se_reduced_dim, self.bn_momentum, self.bn_eps,
+                    name="bottleneck",
+                )(x, train=False, fused_residual=mode)
         needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
         shortcut = x
         if needs_proj:
             proj = self.param("proj", torch_conv_kernel_init, (1, 1, 1, self.dim_in, self.dim_out))
-            shortcut = conv3d(x, proj, stride=self.stride, padding=(0, 0, 0))
+            if packed:
+                from change3d_tpu.ops import packed as pk
+
+                shortcut = pk.conv2d_packed(
+                    x, pk.expand_pointwise(proj[0, 0, 0]), stride=self.stride[1]
+                )
+            else:
+                shortcut = conv3d(x, proj, stride=self.stride, padding=(0, 0, 0))
             if self.dim_in != self.dim_out:
-                shortcut = BatchNorm(
-                    momentum=self.bn_momentum, eps=self.bn_eps, name="proj_bn"
-                )(shortcut, use_running_average=not train)
+                a_p, b_p = (None, None)
+                bn_p = BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name="proj_bn")
+                if packed:
+                    from change3d_tpu.ops import packed as pk
+
+                    a_p, b_p = bn_p(
+                        jnp.zeros((1, self.dim_out), x.dtype),
+                        use_running_average=True, return_folded=True,
+                    )
+                    shortcut = (
+                        shortcut * pk.repeat_per_channel(a_p).astype(shortcut.dtype)
+                        + pk.repeat_per_channel(b_p).astype(shortcut.dtype)
+                    )
+                else:
+                    shortcut = bn_p(shortcut, use_running_average=not train)
         branch = X3DBottleneck(
             self.dim_in,
             self.dim_inner,
@@ -299,7 +364,7 @@ class X3DResBlock(nn.Module):
             self.bn_momentum,
             self.bn_eps,
             name="bottleneck",
-        )(x, train=train)
+        )(x, train=train, packed=packed)
         return jax.nn.relu(shortcut + branch)
 
 
@@ -315,6 +380,7 @@ class BlockPair(nn.Module):
     train: bool
     fused_inference: bool = False
     fused_htiled: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -324,9 +390,11 @@ class BlockPair(nn.Module):
             fused_inference=self.fused_inference,
             fused_htiled=self.fused_htiled,
         )
-        x = X3DResBlock(se_reduced_dim=0, name="a", **common)(x, train=self.train)
+        x = X3DResBlock(se_reduced_dim=0, name="a", **common)(
+            x, train=self.train, packed=self.packed
+        )
         x = X3DResBlock(se_reduced_dim=self.se_reduced_dim, name="b", **common)(
-            x, train=self.train
+            x, train=self.train, packed=self.packed
         )
         return x, None
 
@@ -358,6 +426,8 @@ class X3DStage(nn.Module):
             cfg.stage_spatial_stride[i],
         )
 
+        packed = (not train) and (i in cfg.packed_eval_stages) and cfg.stage_temporal_stride[i] == 1
+
         def block(b, dim_in, stride):
             return X3DResBlock(
                 dim_in=dim_in,
@@ -372,7 +442,11 @@ class X3DStage(nn.Module):
                 name=f"block{b}",
             )
 
-        x = block(0, self.dim_in, first_stride)(x, train=train)
+        if packed:
+            from change3d_tpu.ops import packed as pk
+
+            x = pk.pack(x)
+        x = block(0, self.dim_in, first_stride)(x, train=train, packed=packed)
         rest = depth - 1
         n_pairs = rest // 2
         if cfg.scan_blocks and n_pairs > 0:
@@ -386,15 +460,17 @@ class X3DStage(nn.Module):
                 length=n_pairs,
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
-                cfg.fused_inference, cfg.fused_htiled,
+                cfg.fused_inference, cfg.fused_htiled, packed,
                 name="pairs",
             )
             x, _ = scanned(x, None)
             if rest % 2:  # trailing odd-index (non-SE) block
-                x = block(depth - 1, dim_out, (1, 1, 1))(x, train=train)
+                x = block(depth - 1, dim_out, (1, 1, 1))(x, train=train, packed=packed)
         else:
             for b in range(1, depth):
-                x = block(b, dim_out, (1, 1, 1))(x, train=train)
+                x = block(b, dim_out, (1, 1, 1))(x, train=train, packed=packed)
+        if packed:
+            x = pk.unpack(x)
         return x
 
 

@@ -116,12 +116,30 @@ def packed_dw_kernel(w_dw_np, c_dim, k=3):
     return jnp.asarray(w)
 
 
+def packed_dw_dense(w_dw_np, c_dim):
+    """Same op as a DENSE [kh,kw,C*T,C*T] conv (block-diagonal over c,
+    banded over t): trades T*C-fold extra MACs (MXU is idle anyway) for a
+    lane-friendly dense conv instead of tiny grouped convs."""
+    kh, kw = w_dw_np.shape[1], w_dw_np.shape[2]
+    half = w_dw_np.shape[0] // 2
+    w = np.zeros((kh, kw, c_dim * T, c_dim * T), np.float32)
+    for c in range(c_dim):
+        for t_out in range(T):
+            for t_in in range(T):
+                d = t_in - t_out + half
+                if 0 <= d < w_dw_np.shape[0]:
+                    w[:, :, c * T + t_in, c * T + t_out] = w_dw_np[d, :, :, 0, c]
+    return jnp.asarray(w)
+
+
 # Precompute packed kernels (host, once).
 PK_STEM_S = block_diag_t(W_STEM_S[0])                                  # [3,3,3T,24T]
 PK_STEM_T = packed_dw_kernel(np.asarray(W_STEM_T), C_STEM)             # [1,1,T,24T]
 PK_PROJ = block_diag_t(W_PROJ[0, 0, 0]).reshape(1, 1, C_STEM * T, C_OUT1 * T)
 PK_A = block_diag_t(W_A).reshape(1, 1, C_STEM * T, C_IN1 * T)
 PK_DW = packed_dw_kernel(np.asarray(W_DW), C_IN1)                      # [3,3,T,54T]
+PK_DW_DENSE = packed_dw_dense(np.asarray(W_DW), C_IN1)                 # [3,3,54T,54T]
+PK_STEM_T_DENSE = packed_dw_dense(np.asarray(W_STEM_T), C_STEM)        # [1,1,24T,24T]
 PK_C = block_diag_t(W_C).reshape(1, 1, C_IN1 * T, C_OUT1 * T)
 
 _DN2D = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
@@ -168,19 +186,37 @@ def timed(name, fn, x, n=8):
     return dt
 
 
+def packed_dense_path(xp):
+    """All-dense variant: grouped convs replaced by banded dense convs."""
+    h = conv2d_p(xp, PK_STEM_S, padding=1)
+    h = conv2d_p(h, PK_STEM_T_DENSE)
+    h = jax.nn.relu(h)
+    short = conv2d_p(h, PK_PROJ, stride=2)
+    b = conv2d_p(h, PK_A)
+    b = jax.nn.relu(b)
+    b = conv2d_p(b, PK_DW_DENSE, stride=2, padding=1)
+    b = swish(b)
+    b = conv2d_p(b, PK_C)
+    return jax.nn.relu(short + b)
+
+
 def main():
     x = jax.random.normal(jax.random.PRNGKey(9), (B, T, H, W, 3), jnp.float32)
 
     ref = reference_path(x)
     got = unpack(packed_path(pack(x)))
     err = float(jnp.max(jnp.abs(ref - got)) / (jnp.max(jnp.abs(ref)) + 1e-9))
-    print("relative max err (fp32):", err, flush=True)
+    print("relative max err grouped (fp32):", err, flush=True)
     assert err < 2e-2, err
+    got2 = unpack(packed_dense_path(pack(x)))
+    err2 = float(jnp.max(jnp.abs(ref - got2)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    print("relative max err dense (fp32):", err2, flush=True)
+    assert err2 < 2e-2, err2
 
     xb = x.astype(DTYPE)
     t_ref = timed("reference NDHWC", reference_path, xb)
-    t_pak = timed("packed C*T", packed_path, pack(xb))
-    print(f"speedup: {t_ref / t_pak:.2f}x")
+    t_dense = timed("packed C*T dense", packed_dense_path, pack(xb))
+    print(f"dense speedup: {t_ref / t_dense:.2f}x")
 
 
 if __name__ == "__main__":

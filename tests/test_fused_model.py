@@ -36,6 +36,32 @@ def test_fused_inference_matches_standard():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-3, atol=3e-4)
 
 
+def test_packed_eval_stages_match_standard():
+    cfg = TINY
+    cfg_packed = dataclasses.replace(cfg, packed_eval_stages=(0, 1))
+    model = X3D(cfg)
+    model_packed = X3D(cfg_packed)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    vp = model_packed.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vp) == jax.tree_util.tree_structure(variables)
+    ref = model.apply(variables, x)
+    got = model_packed.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-3, atol=3e-4)
+
+
+def test_packed_training_path_unchanged():
+    # packed_eval_stages must not affect training-mode math or variables.
+    cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(0,))
+    model = X3D(TINY)
+    model_packed = X3D(cfg_packed)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref, upd_ref = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    got, upd = model_packed.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
 def test_fused_inference_skips_when_too_large():
     # Inner tensor above the VMEM budget must fall back to the XLA path and
     # still produce identical results.
