@@ -250,7 +250,8 @@ def run_caption_training(args) -> Dict[str, float]:
         num_workers=cfg.num_workers, collate=caption_collate, pad_final=True,
     )
 
-    model = build_caption_model(cfg, vocab_size)
+    sample_probe = train_data.__getitem__(0)
+    model = build_caption_model(cfg, vocab_size, in_size=sample_probe["pre"].shape[0])
     steps_per_epoch = max(len(train_loader), 1)
     schedule = shrink_schedule(cfg.lr, steps_per_epoch, shrink_every_epochs=10, factor=0.5)
     tx = torch_adam(
