@@ -153,11 +153,37 @@ class X3DStem(nn.Module):
             "conv_s", torch_conv_kernel_init, (1, 3, 3, self.cfg.in_channels, c_out)
         )
         conv_t = self.param("conv_t", torch_conv_kernel_init, (5, 1, 1, 1, c_out))
+        bn = BatchNorm(momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps, name="bn")
+
+        packed = (
+            (not train)
+            and -1 in self.cfg.packed_eval_stages  # -1 denotes the stem
+            and st == 1
+            and x.shape[1] == 3
+        )
+        if packed:
+            from change3d_tpu.ops import packed as pk
+
+            xp = pk.pack(x)
+            xp = pk.conv2d_packed(
+                xp, pk.expand_conv_spatial(conv_s[0]), stride=ss, padding=1
+            )
+            # depthwise temporal 5x1x1 -> dense banded 1x1 packed conv
+            xp = pk.conv2d_packed(
+                xp, pk.expand_depthwise(conv_t[:, :, :, 0, :])
+            )
+            a, b = bn(
+                jnp.zeros((1, c_out), x.dtype), use_running_average=True, return_folded=True
+            )
+            xp = (
+                xp * pk.repeat_per_channel(a).astype(xp.dtype)
+                + pk.repeat_per_channel(b).astype(xp.dtype)
+            )
+            return jax.nn.relu(pk.unpack(xp))
+
         x = conv3d(x, conv_s, stride=(1, ss, ss), padding=(0, 1, 1))
         x = depthwise_conv3d(x, conv_t, stride=(st, 1, 1), padding=(2, 0, 0))
-        x = BatchNorm(momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps, name="bn")(
-            x, use_running_average=not train
-        )
+        x = bn(x, use_running_average=not train)
         return jax.nn.relu(x)
 
 

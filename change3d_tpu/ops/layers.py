@@ -10,8 +10,9 @@ implementation is layout- and compiler-driven:
   TPU lane axis (128-wide) and 1x1x1 convs become plain MXU matmuls;
 - kernels are stored (..spatial.., in, out) so no transposition happens at
   trace time;
-- every matmul-like op takes a ``preferred_element_type`` so bf16 inputs
-  accumulate in fp32 on the MXU.
+- dots set ``preferred_element_type=f32`` so bf16 inputs accumulate in fp32
+  on the MXU; convs rely on the TPU's native f32 conv accumulation instead
+  (an explicit f32 conv output breaks lax.conv's vjp under mixed precision).
 """
 
 from __future__ import annotations
@@ -48,8 +49,7 @@ def conv3d(
         padding=_pad3(padding),
         dimension_numbers=_DN3D,
         feature_group_count=groups,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
 
 
 def pointwise_conv3d(x: jax.Array, kernel: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
@@ -92,8 +92,7 @@ def depthwise_conv3d(
         padding=_pad3(padding),
         dimension_numbers=_DN3D,
         feature_group_count=c,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
 
 
 def conv2d(
@@ -113,8 +112,7 @@ def conv2d(
         window_strides=tuple(stride),
         padding=tuple((p, p) for p in padding),
         dimension_numbers=_DN2D,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
 
 
 def conv_transpose2d(
@@ -144,8 +142,7 @@ def conv_transpose2d(
         padding=((kh - 1 - padding, kh - 1 - padding), (kw - 1 - padding, kw - 1 - padding)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN2D,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -108,6 +108,25 @@ def test_train_and_eval_step_sharded(task):
         assert 0.0 <= float(metrics["top1"]) <= 100.0
 
 
+def test_bf16_training_step():
+    # Regression: lax.conv's vjp rejects mixed dtypes when convs force f32
+    # outputs; the bf16 compute path must train end-to-end.
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    model = _model("bcd")
+    tx = torch_adam(poly_warmup_schedule(1e-3, 100, 10), weight_decay=1e-4)
+    batch = _batch("bcd", rng)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, donate=False, compute_dtype=jnp.bfloat16)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_bn_stats_update_during_training():
     rng = np.random.RandomState(1)
     model = _model("bcd")

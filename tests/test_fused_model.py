@@ -50,6 +50,17 @@ def test_packed_eval_stages_match_standard():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-3, atol=3e-4)
 
 
+def test_packed_stem_matches_standard():
+    cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(-1, 0))
+    model = X3D(TINY)
+    model_packed = X3D(cfg_packed)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(variables, x)
+    got = model_packed.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-3, atol=3e-4)
+
+
 def test_packed_training_path_unchanged():
     # packed_eval_stages must not affect training-mode math or variables.
     cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(0,))
