@@ -36,7 +36,11 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--remat", action="store_true", help="rematerialize block pairs (memory for FLOPs)")
+    p.add_argument(
+        "--remat", action=argparse.BooleanOptionalAction, default=True,
+        help="rematerialize block pairs (default on: batch-16 256^2 training "
+        "exceeds 16GB HBM without it)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
