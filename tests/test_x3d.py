@@ -130,6 +130,25 @@ def test_x3d_classification_head_matches_oracle():
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=2e-3, atol=2e-4)
 
 
+def test_load_x3d_pretrained_torch_roundtrip(tmp_path):
+    # End-to-end through torch serialization: the exact format X3D_L.pyth
+    # uses ({'model_state': state_dict}), including scanned-pair packing.
+    from change3d_tpu.checkpoint.convert import load_x3d_pretrained
+
+    cfg = _tiny_cfg()  # scan_blocks=True default
+    sd = make_random_x3d_state_dict(cfg, seed=9)
+    path = tmp_path / "X3D_TINY.pyth"
+    torch.save({"model_state": sd}, str(path))
+    variables = load_x3d_pretrained(str(path), cfg)
+    model = X3D(cfg)
+    x = np.random.RandomState(10).randn(1, 3, 16, 16, 3).astype(np.float32)
+    out = model.apply(variables, jnp.asarray(x))
+    ref = oracle_run_blocks(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), sd, cfg)[-1]
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy().transpose(0, 2, 3, 4, 1), rtol=2e-3, atol=2e-4
+    )
+
+
 def test_x3d_full_param_count():
     # X3D-L Kinetics classifier is 6.15M params (paper Table); sans-head
     # backbone (what the Change3D tasks use) is 4.37M.
