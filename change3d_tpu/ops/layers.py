@@ -39,7 +39,6 @@ def conv3d(
     stride: Sequence[int] = (1, 1, 1),
     padding: Sequence[int] = (0, 0, 0),
     groups: int = 1,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """3D convolution. x: [B,T,H,W,C_in], kernel: [kt,kh,kw,C_in/groups,C_out]."""
     return lax.conv_general_dilated(
@@ -75,7 +74,6 @@ def depthwise_conv3d(
     *,
     stride: Sequence[int] = (1, 1, 1),
     padding: Sequence[int] = (1, 1, 1),
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """Depthwise (channelwise-separable) 3D conv — X3D's signature op.
 
@@ -101,11 +99,10 @@ def conv2d(
     *,
     stride: Sequence[int] = (1, 1),
     padding: Sequence[int] = (0, 0),
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """2D convolution. x: [B,H,W,C_in], kernel: [kh,kw,C_in,C_out]."""
     if kernel.shape[0] == 1 and kernel.shape[1] == 1 and tuple(stride) == (1, 1):
-        return pointwise_conv3d(x, kernel[0, 0], accum_dtype=accum_dtype)
+        return pointwise_conv3d(x, kernel[0, 0])
     return lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -122,7 +119,6 @@ def conv_transpose2d(
     *,
     stride: int = 2,
     padding: int = 1,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """PyTorch-semantics ConvTranspose2d (kernel 4, stride 2, padding 1 in the
     decoder, ref: /root/reference/model/change_decoder.py:32).
