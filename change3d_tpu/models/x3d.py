@@ -107,6 +107,10 @@ class X3DConfig:
     # activations run as [B, H, W, C*T] with dense banded kernels — measured
     # 1.99x on the stem+stage1 segment (ops/packed.py, ARCHITECTURE.md).
     packed_eval_stages: Tuple[int, ...] = ()
+    # Use the packed path at *training* time too for those stages: the dense
+    # expansions are differentiable and BatchNorm supports packed per-c batch
+    # statistics (packed_t), so math and variables are identical.
+    packed_train: bool = False
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -237,25 +241,15 @@ class X3DBottleneck(nn.Module):
         conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
 
         if packed:
-            assert not train and self.stride[0] == 1
+            assert self.stride[0] == 1
             from change3d_tpu.ops import packed as pk
 
             s = self.stride[1]
-            zi = jnp.zeros((1, self.dim_inner), x.dtype)
-            zo = jnp.zeros((1, self.dim_out), x.dtype)
-            a_a, b_a = bn("bn_a")(zi, use_running_average=True, return_folded=True)
             h = pk.conv2d_packed(x, pk.expand_pointwise(conv_a))
-            h = jax.nn.relu(
-                h * pk.repeat_per_channel(a_a).astype(h.dtype)
-                + pk.repeat_per_channel(b_a).astype(h.dtype)
-            )
+            h = jax.nn.relu(bn("bn_a")(h, use_running_average=not train, packed_t=pk.T))
             conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
-            a_b, b_b = bn("bn_b")(zi, use_running_average=True, return_folded=True)
             h = pk.conv2d_packed(h, pk.expand_depthwise(conv_b[:, :, :, 0, :]), stride=s, padding=1)
-            h = (
-                h * pk.repeat_per_channel(a_b).astype(h.dtype)
-                + pk.repeat_per_channel(b_b).astype(h.dtype)
-            )
+            h = bn("bn_b")(h, use_running_average=not train, packed_t=pk.T)
             if self.se_reduced_dim > 0:
                 w_r, b_r, w_e, b_e = SqueezeExcite(
                     self.dim_inner, self.se_reduced_dim, name="se"
@@ -263,12 +257,8 @@ class X3DBottleneck(nn.Module):
                 h = pk.se_packed(h, w_r, b_r, w_e, b_e)
             h = swish(h)
             conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-            a_c, b_c = bn("bn_c")(zo, use_running_average=True, return_folded=True)
             h = pk.conv2d_packed(h, pk.expand_pointwise(conv_c))
-            return (
-                h * pk.repeat_per_channel(a_c).astype(h.dtype)
-                + pk.repeat_per_channel(b_c).astype(h.dtype)
-            )
+            return bn("bn_c")(h, use_running_average=not train, packed_t=pk.T)
 
         if fused_residual:
             assert not train and self.stride == (1, 1, 1) and self.dim_in == self.dim_out
@@ -366,18 +356,12 @@ class X3DResBlock(nn.Module):
             else:
                 shortcut = conv3d(x, proj, stride=self.stride, padding=(0, 0, 0))
             if self.dim_in != self.dim_out:
-                a_p, b_p = (None, None)
                 bn_p = BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name="proj_bn")
                 if packed:
                     from change3d_tpu.ops import packed as pk
 
-                    a_p, b_p = bn_p(
-                        jnp.zeros((1, self.dim_out), x.dtype),
-                        use_running_average=True, return_folded=True,
-                    )
-                    shortcut = (
-                        shortcut * pk.repeat_per_channel(a_p).astype(shortcut.dtype)
-                        + pk.repeat_per_channel(b_p).astype(shortcut.dtype)
+                    shortcut = bn_p(
+                        shortcut, use_running_average=not train, packed_t=pk.T
                     )
                 else:
                     shortcut = bn_p(shortcut, use_running_average=not train)
@@ -452,7 +436,11 @@ class X3DStage(nn.Module):
             cfg.stage_spatial_stride[i],
         )
 
-        packed = (not train) and (i in cfg.packed_eval_stages) and cfg.stage_temporal_stride[i] == 1
+        packed = (
+            (i in cfg.packed_eval_stages)
+            and cfg.stage_temporal_stride[i] == 1
+            and (not train or cfg.packed_train)
+        )
 
         def block(b, dim_in, stride):
             return X3DResBlock(

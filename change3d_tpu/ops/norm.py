@@ -35,12 +35,22 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, use_running_average: bool, return_folded: bool = False
+        self,
+        x: jax.Array,
+        *,
+        use_running_average: bool,
+        return_folded: bool = False,
+        packed_t: int = 0,
     ):
         """``return_folded=True`` declares the same variables but returns the
         eval-mode per-channel (a, b) fold vectors instead of normalizing x
-        (x supplies only the channel count) — used by fused Pallas blocks."""
-        c = x.shape[-1]
+        (x supplies only the channel count) — used by fused Pallas blocks.
+
+        ``packed_t=T`` treats x as time-packed [..., C*T] (c-major): batch
+        statistics are per-c over (batch, space, t), and the scale/shift
+        vectors are repeated T times — numerically identical to normalizing
+        the unpacked [B,T,...,C] tensor."""
+        c = x.shape[-1] // packed_t if packed_t else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
@@ -54,7 +64,11 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             x32 = x.astype(jnp.float32)
-            reduce_axes = tuple(range(x.ndim - 1))
+            if packed_t:
+                x32 = x32.reshape(x32.shape[:-1] + (c, packed_t))
+                reduce_axes = tuple(range(x32.ndim - 2)) + (x32.ndim - 1,)
+            else:
+                reduce_axes = tuple(range(x.ndim - 1))
             n = x.size // c
             mean = jnp.mean(x32, axis=reduce_axes)
             # Biased variance for normalization (torch semantics).
@@ -71,6 +85,9 @@ class BatchNorm(nn.Module):
         # activations this is numerically identical to the fp32 path).
         a = scale * jax.lax.rsqrt(var + self.eps)
         b = bias - mean * a
+        if packed_t:
+            a = jnp.repeat(a, packed_t)
+            b = jnp.repeat(b, packed_t)
         return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 

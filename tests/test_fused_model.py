@@ -73,6 +73,42 @@ def test_packed_training_path_unchanged():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
+def test_packed_train_matches_standard():
+    # packed_train: forward outputs, gradients, and BN running-stat updates
+    # must all match the standard path.
+    cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(0, 1), packed_train=True)
+    model = X3D(TINY)
+    model_packed = X3D(cfg_packed)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, mdl):
+        out, upd = mdl.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2), upd["batch_stats"]
+
+    (ref_l, ref_stats), ref_g = jax.value_and_grad(loss, has_aux=True)(variables["params"], model)
+    (got_l, got_stats), got_g = jax.value_and_grad(loss, has_aux=True)(variables["params"], model_packed)
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
+    # fp32 reduction order differs between layouts (the packed depthwise does
+    # T^2/T the MACs in a different order); individual near-zero gradient
+    # entries wander, so compare per-leaf relative L2 error. Forward outputs
+    # and BN statistics (tight tolerances) carry the correctness weight.
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_g), jax.tree_util.tree_leaves_with_path(ref_g)
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 1e-2, (jax.tree_util.keystr(pa), rel)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_stats), jax.tree_util.tree_leaves_with_path(ref_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_fused_inference_skips_when_too_large():
     # Inner tensor above the VMEM budget must fall back to the XLA path and
     # still produce identical results.
