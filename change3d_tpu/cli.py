@@ -41,6 +41,11 @@ def _common_flags(p: argparse.ArgumentParser):
         help="rematerialize block pairs (default on: batch-16 256^2 training "
         "exceeds 16GB HBM without it)",
     )
+    p.add_argument(
+        "--packed", action="store_true",
+        help="time-packed stage-1 execution (+10%% eval, +5%% train on v5e; "
+        "fp32 reduction-order-level numeric difference)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -164,6 +169,7 @@ def main(argv=None):
             seed=args.seed,
             compute_dtype=args.compute_dtype,
             remat=args.remat,
+            packed=args.packed,
         )
         return run_detection_training(cfg)
     elif args.task == "cc":

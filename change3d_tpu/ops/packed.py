@@ -46,10 +46,12 @@ def unpack(x: jax.Array, t: int = T) -> jax.Array:
 
 
 def conv2d_packed(x, w, *, stride: int = 1, padding: int = 0):
+    # No explicit f32 output: the TPU conv units accumulate f32 natively and
+    # forcing it breaks lax.conv's vjp under mixed precision (see ops/layers.py).
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), ((padding, padding),) * 2,
-        dimension_numbers=_DN2D, preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        dimension_numbers=_DN2D,
+    )
 
 
 def expand_pointwise(w: jax.Array, t: int = T) -> jax.Array:

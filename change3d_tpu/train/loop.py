@@ -58,6 +58,10 @@ class RunConfig:
     # jax.checkpoint over block pairs. Default ON: the batch-16 256^2 train
     # step needs 22.7 GB of activations without it — over a 16 GB v5e's HBM.
     remat: bool = True
+    # Time-packed stage-1 execution (ops/packed.py): +10% eval, +5% train on
+    # v5e. Off by default so default runs match the reference layout exactly;
+    # numerics differ only at fp32 reduction-order level (equality-tested).
+    packed: bool = False
     # CC-specific
     vocab_size: int = 0
     embed_dim: int = 192
@@ -77,7 +81,14 @@ def build_model(cfg: RunConfig) -> Change3D:
 
     from change3d_tpu.models.x3d import x3d_l_config
 
-    backbone = _dc.replace(x3d_l_config(), remat=cfg.remat) if cfg.remat else None
+    backbone = None
+    if cfg.remat or cfg.packed:
+        backbone = _dc.replace(
+            x3d_l_config(),
+            remat=cfg.remat,
+            packed_eval_stages=(0,) if cfg.packed else (),
+            packed_train=cfg.packed,
+        )
     return Change3D(
         task=Task(cfg.task),
         num_classes=cfg.num_classes,
