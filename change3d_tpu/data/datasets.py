@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 from os.path import join as osp
-from typing import Optional, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

@@ -14,7 +14,7 @@ This module gives the deployment story the TPU build needs:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -25,9 +25,6 @@ Layout: batch-first [B, L, E] (the reference is seq-first).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -19,10 +19,9 @@ from __future__ import annotations
 import enum
 from typing import Any, Dict
 
-import jax
 import flax.linen as nn
 
-from change3d_tpu.models.encoder import EMBED_DIMS, Encoder, tap_dims
+from change3d_tpu.models.encoder import Encoder, tap_dims
 from change3d_tpu.models.change_decoder import ChangeDecoder
 from change3d_tpu.models.caption_decoder import CaptionDecoder
 from change3d_tpu.models.x3d import X3DConfig, x3d_l_config

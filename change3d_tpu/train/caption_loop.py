@@ -34,11 +34,11 @@ import optax
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
 from change3d_tpu.data.datasets import CaptionDataset
-from change3d_tpu.data.pipeline import DataLoader, caption_collate, device_prefetch, shard_batch
+from change3d_tpu.data.pipeline import DataLoader, caption_collate, device_prefetch
 from change3d_tpu.models.caption_decoder import MAX_CAPTION_LEN, beam_search_decode
 from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
-from change3d_tpu.train.engine import create_train_state, make_train_step, make_eval_step
+from change3d_tpu.train.engine import create_train_state, make_train_step
 from change3d_tpu.train.lr import shrink_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.metrics.caption import eval_caption_scores

@@ -21,14 +21,14 @@ import jax.numpy as jnp
 
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
-from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset, CaptionDataset
-from change3d_tpu.data.pipeline import DataLoader, pair_collate, caption_collate, device_prefetch, shard_batch
+from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
+from change3d_tpu.data.pipeline import DataLoader, pair_collate, device_prefetch
 from change3d_tpu.data.transforms import make_transform_pipelines
 from change3d_tpu.metrics.confusion import BinaryChangeMeter, SCDMeter, BDAMeter
 from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
-from change3d_tpu.train.engine import TrainState, create_train_state, make_train_step, make_eval_step
-from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule, shrink_schedule
+from change3d_tpu.train.engine import create_train_state, make_train_step, make_eval_step
+from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.utils.logging import setup_logger
 
