@@ -27,11 +27,19 @@ import numpy as np
 from change3d_tpu.data.transforms import TransformPipeline
 
 
-def _imread_color(path: str) -> np.ndarray:
+def _imread_color(path: str, rgb: bool = True) -> np.ndarray:
+    """Load a color image.
+
+    ``rgb=True`` matches the reference's skimage.io.imread channel order used
+    for BCD/SCD (ref: /root/reference/data/dataset.py:77-78,185-186) — the
+    order the Kinetics-pretrained X3D features expect. BDA passes ``rgb=False``
+    because the reference itself reads xBD with cv2 and therefore trains on
+    BGR (ref: /root/reference/data/dataset.py:295-296).
+    """
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise IOError(f"Failed to load image: {path}")
-    return img
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB) if rgb else img
 
 
 def _imread_gray(path: str) -> np.ndarray:
@@ -123,7 +131,13 @@ class BDADataset(_PairDataset):
         )
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
-        img = np.concatenate([_imread_color(self.pre_images[idx]), _imread_color(self.post_images[idx])], axis=2)
+        img = np.concatenate(
+            [
+                _imread_color(self.pre_images[idx], rgb=False),
+                _imread_color(self.post_images[idx], rgb=False),
+            ],
+            axis=2,
+        )
         label = np.stack(
             [_imread_gray(self.loc_labels[idx]), _imread_gray(self.cls_labels[idx])], axis=-1
         ).astype(np.uint8)

@@ -105,6 +105,45 @@ def test_padded_final_batch(bcd_root):
     np.testing.assert_array_equal(batches[1]["valid"], [True, False, False, False])
 
 
+def test_channel_order_per_task(tmp_path):
+    """BCD/SCD load RGB (reference uses skimage, /root/reference/data/dataset.py:77-78,
+    185-186); BDA loads BGR (reference uses cv2 there, :295-296). A pure-red
+    PNG must land in channel 0 for BCD/SCD and channel 2 for BDA."""
+    from change3d_tpu.data.datasets import BDADataset
+
+    red_bgr = np.zeros((8, 8, 3), np.uint8)
+    red_bgr[..., 2] = 255  # cv2 writes BGR, so this file is pure red
+    zeros = np.zeros((8, 8), np.uint8)
+
+    for d in ("t1", "t2", "label"):
+        os.makedirs(tmp_path / "bcd" / "train" / d)
+    cv2.imwrite(str(tmp_path / "bcd" / "train" / "t1" / "a.png"), red_bgr)
+    cv2.imwrite(str(tmp_path / "bcd" / "train" / "t2" / "a.png"), red_bgr)
+    cv2.imwrite(str(tmp_path / "bcd" / "train" / "label" / "a.png"), zeros)
+    img, _ = BCDDataset(str(tmp_path / "bcd"), "train")[0]
+    assert img[0, 0, 0] == 255 and img[0, 0, 2] == 0  # pre: RGB
+    assert img[0, 0, 3] == 255 and img[0, 0, 5] == 0  # post: RGB
+
+    for d in ("t1", "t2", "label1", "label2", "change"):
+        os.makedirs(tmp_path / "scd" / "train" / d)
+    for d in ("t1", "t2"):
+        cv2.imwrite(str(tmp_path / "scd" / "train" / d / "a.png"), red_bgr)
+    for d in ("label1", "label2", "change"):
+        cv2.imwrite(str(tmp_path / "scd" / "train" / d / "a.png"), zeros)
+    img, _ = SCDDataset(str(tmp_path / "scd"), "train")[0]
+    assert img[0, 0, 0] == 255 and img[0, 0, 2] == 0
+
+    for d in ("t1", "t2", "label1", "label2"):
+        os.makedirs(tmp_path / "bda" / "train" / d)
+    for d in ("t1", "t2"):
+        cv2.imwrite(str(tmp_path / "bda" / "train" / d / "x_disaster.png"), red_bgr)
+    for d in ("label1", "label2"):
+        cv2.imwrite(str(tmp_path / "bda" / "train" / d / "x_disaster_target.png"), zeros)
+    img, _ = BDADataset(str(tmp_path / "bda"), "train")[0]
+    assert img[0, 0, 2] == 255 and img[0, 0, 0] == 0  # BGR preserved
+    assert img[0, 0, 5] == 255 and img[0, 0, 3] == 0
+
+
 def test_missing_file_raises(tmp_path):
     for d in ("t1", "t2", "label"):
         os.makedirs(tmp_path / "train" / d, exist_ok=True)
