@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -90,26 +91,59 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def load_sample(bi, j, idx):
+            # Seeded per-sample rng: augmentation is reproducible regardless of
+            # worker scheduling.
+            rng = np.random.default_rng((self.seed, self._epoch, bi, j))
+            return self.dataset.__getitem__(int(idx), rng)
+
+        def offer(item) -> bool:
+            """Blocking put that aborts when the consumer goes away."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for bi, (idxs, valid) in enumerate(batches):
-                    if stop.is_set():
-                        return
-                    samples = []
-                    for j, idx in enumerate(idxs):
-                        rng = np.random.default_rng(
-                            (self.seed, self._epoch, bi, j)
-                        )
-                        samples.append(self.dataset.__getitem__(int(idx), rng))
-                    batch = self.collate(samples)
-                    if self.pad_final:
-                        batch = dict(batch) if isinstance(batch, dict) else batch
-                        batch["valid"] = (np.arange(self.batch_size) < valid)
-                    out_q.put(batch)
+                # Fan decode/augment over num_workers threads (cv2/numpy/h5py
+                # release the GIL for the heavy parts); keep a 2-batch window
+                # of in-flight sample futures so assembly overlaps decode.
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    window: "deque" = deque()
+                    it = iter(enumerate(batches))
+
+                    def submit():
+                        nxt = next(it, None)
+                        if nxt is not None:
+                            bi, (idxs, valid) = nxt
+                            futs = [
+                                pool.submit(load_sample, bi, j, idx)
+                                for j, idx in enumerate(idxs)
+                            ]
+                            window.append((futs, valid))
+
+                    submit()
+                    submit()
+                    while window and not stop.is_set():
+                        futs, valid = window.popleft()
+                        samples = [f.result() for f in futs]
+                        submit()
+                        batch = self.collate(samples)
+                        if self.pad_final:
+                            batch = dict(batch) if isinstance(batch, dict) else batch
+                            batch["valid"] = (np.arange(self.batch_size) < valid)
+                        if not offer(batch):
+                            return
             except Exception as e:  # propagate to consumer
-                out_q.put(e)
+                offer(e)
             finally:
-                out_q.put(None)
+                offer(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

@@ -26,7 +26,13 @@ from change3d_tpu.data.pipeline import DataLoader, pair_collate, device_prefetch
 from change3d_tpu.data.transforms import make_transform_pipelines
 from change3d_tpu.metrics.confusion import BinaryChangeMeter, SCDMeter, BDAMeter
 from change3d_tpu.models.trainer import Change3D, Task
-from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from change3d_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    multiple_of_devices,
+)
 from change3d_tpu.train.engine import create_train_state, make_train_step, make_eval_step
 from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule
 from change3d_tpu.train.optim import torch_adam
@@ -129,15 +135,25 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     mesh = make_mesh()
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
+    batch_size = multiple_of_devices(cfg.batch_size, mesh)
+    if batch_size != cfg.batch_size:
+        print(
+            f"batch_size {cfg.batch_size} rounded up to {batch_size} "
+            f"(must divide over {mesh.shape[DATA_AXIS]} devices)"
+        )
+        cfg = dataclasses.replace(cfg, batch_size=batch_size)
 
     save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_iter_{cfg.max_steps}_lr_{cfg.lr}")
     logger = setup_logger(save_path, dataclasses.asdict(cfg), cfg.log_name)
 
     train_tf, eval_tf = make_transform_pipelines(cfg.task, cfg.in_width, cfg.in_height)
     ds_cls = _DATASETS[cfg.task]
-    split_test = "test" if cfg.task != "bda" else "test"
+    # All tasks validate on the *test* split, including BDA: the reference
+    # builds a 'hold' loader for xBD but never uses it — its val() runs on
+    # test_loader ("using test set as validation",
+    # ref: /root/reference/scripts/train_BDA.py:305-308).
     train_data = ds_cls(cfg.file_root, "train", train_tf)
-    test_data = ds_cls(cfg.file_root, split_test, eval_tf)
+    test_data = ds_cls(cfg.file_root, "test", eval_tf)
     train_loader = DataLoader(
         train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
