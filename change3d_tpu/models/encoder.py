@@ -70,8 +70,17 @@ class Encoder(nn.Module):
         )
         return jnp.concatenate([pre[:, None], percep, post[:, None]], axis=1)
 
-    def _enhance(self, x: jax.Array, stage: int) -> jax.Array:
+    def _enhance(self, x: jax.Array, stage: int, packed_t: int = 0) -> jax.Array:
+        """|pre - post| -> 1x1 conv -> add to the middle frame. With
+        ``packed_t`` the input is time-packed [B, H, W, C*T] (c-major, t
+        minor): frame t of channel c lives at lane c*T + t, so per-frame
+        views are strided lane slices — no unpack round-trip."""
         n = self.num_perception_frames
+        if packed_t:
+            middle = packed_t // 2
+            diff = jnp.abs(x[..., 0::packed_t] - x[..., n + 1 :: packed_t])
+            enh = self.fc[stage](diff)
+            return x.at[..., middle::packed_t].add(enh)
         middle = x.shape[1] // 2
         diff = jnp.abs(x[:, 0] - x[:, n + 1])
         enh = self.fc[stage](diff)
@@ -84,18 +93,44 @@ class Encoder(nn.Module):
 
         Returns list of 4 stages x list of N per-frame features [B,H',W',C']
         — or the single stage-4 CC feature when ``output_final``.
+
+        When consecutive blocks run time-packed (cfg.packed_eval_stages), the
+        packed layout is carried straight through enhance and the tap slices,
+        so each packed *span* costs exactly one pack (and zero unpacks when
+        the taps themselves are read as lane slices).
         """
+        from change3d_tpu.models.x3d import block_runs_packed
+
+        cfg = self.cfg or x3d_l_config()
         x = self._stack_frames(pre, post)
+        t_clip = x.shape[1]
+        n = self.num_perception_frames
+
         if output_final:
+            packed_now = 0
             for i in range(5):
-                x = self.x3d.run_block(i, x, train=train)
-            return x[:, self.num_perception_frames]
+                runs = block_runs_packed(cfg, i, train)
+                x = self.x3d.run_block(
+                    i, x, train=train, packed_in=packed_now, keep_packed=runs
+                )
+                packed_now = t_clip if runs else 0
+            if packed_now:
+                return x[..., n::packed_now]
+            return x[:, n]
 
         taps: List[List[jax.Array]] = []
+        packed_now = 0
         for i in range(4):
-            x = self.x3d.run_block(i, x, train=train)
-            x = self._enhance(x, i)
-            taps.append([x[:, idx + 1] for idx in range(self.num_perception_frames)])
+            runs = block_runs_packed(cfg, i, train)
+            x = self.x3d.run_block(
+                i, x, train=train, packed_in=packed_now, keep_packed=runs
+            )
+            packed_now = t_clip if runs else 0
+            x = self._enhance(x, i, packed_now)
+            if packed_now:
+                taps.append([x[..., idx + 1 :: packed_now] for idx in range(n)])
+            else:
+                taps.append([x[:, idx + 1] for idx in range(n)])
         return taps
 
 

@@ -116,6 +116,23 @@ class X3DConfig:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
 
 
+def block_runs_packed(cfg: X3DConfig, i: int, train: bool) -> bool:
+    """True when block i of [stem, stage1..stage4] executes time-packed.
+
+    Single source of truth for the packing gates: X3DStem / X3DStage use it to
+    decide their own execution layout, and the Encoder uses it to keep
+    activations packed *across* block boundaries (enhance + taps run packed),
+    eliminating interior pack/unpack pairs."""
+    if i == 0:
+        return (not train) and -1 in cfg.packed_eval_stages and cfg.stem_conv_stride[0] == 1
+    s = i - 1
+    return (
+        s in cfg.packed_eval_stages
+        and cfg.stage_temporal_stride[s] == 1
+        and (not train or cfg.packed_train)
+    )
+
+
 def x3d_l_config() -> X3DConfig:
     """The exact instantiation used by Change3D: width_factor=2.0,
     depth_factor=5.0, bottleneck_factor=2.25, stem stride (1,1,1)."""
@@ -150,7 +167,9 @@ class X3DStem(nn.Module):
     cfg: X3DConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, *, train: bool, keep_packed: bool = False
+    ) -> jax.Array:
         c_out = self.cfg.stem_dim_out
         st, ss = self.cfg.stem_conv_stride[0], self.cfg.stem_conv_stride[1]
         conv_s = self.param(
@@ -159,31 +178,27 @@ class X3DStem(nn.Module):
         conv_t = self.param("conv_t", torch_conv_kernel_init, (5, 1, 1, 1, c_out))
         bn = BatchNorm(momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps, name="bn")
 
-        packed = (
-            (not train)
-            and -1 in self.cfg.packed_eval_stages  # -1 denotes the stem
-            and st == 1
-            and x.shape[1] == 3
-        )
-        if packed:
+        t = x.shape[1]
+        if block_runs_packed(self.cfg, 0, train):
             from change3d_tpu.ops import packed as pk
 
             xp = pk.pack(x)
             xp = pk.conv2d_packed(
-                xp, pk.expand_conv_spatial(conv_s[0]), stride=ss, padding=1
+                xp, pk.expand_conv_spatial(conv_s[0], t), stride=ss, padding=1
             )
             # depthwise temporal 5x1x1 -> dense banded 1x1 packed conv
             xp = pk.conv2d_packed(
-                xp, pk.expand_depthwise(conv_t[:, :, :, 0, :])
+                xp, pk.expand_depthwise(conv_t[:, :, :, 0, :], t)
             )
             a, b = bn(
                 jnp.zeros((1, c_out), x.dtype), use_running_average=True, return_folded=True
             )
             xp = (
-                xp * pk.repeat_per_channel(a).astype(xp.dtype)
-                + pk.repeat_per_channel(b).astype(xp.dtype)
+                xp * pk.repeat_per_channel(a, t).astype(xp.dtype)
+                + pk.repeat_per_channel(b, t).astype(xp.dtype)
             )
-            return jax.nn.relu(pk.unpack(xp))
+            xp = jax.nn.relu(xp)
+            return xp if keep_packed else pk.unpack(xp, t)
 
         x = conv3d(x, conv_s, stride=(1, ss, ss), padding=(0, 1, 1))
         x = depthwise_conv3d(x, conv_t, stride=(st, 1, 1), padding=(2, 0, 0))
@@ -229,36 +244,37 @@ class X3DBottleneck(nn.Module):
         *,
         train: bool,
         fused_residual: Optional[str] = None,
-        packed: bool = False,
+        packed_t: int = 0,
     ) -> jax.Array:
         """``fused_residual`` in {'full', 'htiled'} (eval, stride-1,
         dim-preserving only) runs the whole block INCLUDING the residual
         add + ReLU as one Pallas kernel (see ops/pallas/fused_block.py).
-        ``packed=True`` (eval only) consumes/produces time-packed
-        [B, H, W, C*T] activations with dense banded kernels (ops/packed.py).
-        Either way the parameter tree is identical."""
+        ``packed_t > 0`` consumes/produces time-packed [B, H, W, C*T]
+        activations (T = packed_t frames) with dense banded kernels
+        (ops/packed.py). Either way the parameter tree is identical."""
         bn = lambda name: BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
         conv_a = self.param("conv_a", torch_conv_kernel_init, (self.dim_in, self.dim_inner))
 
-        if packed:
+        if packed_t:
             assert self.stride[0] == 1
             from change3d_tpu.ops import packed as pk
 
+            t = packed_t
             s = self.stride[1]
-            h = pk.conv2d_packed(x, pk.expand_pointwise(conv_a))
-            h = jax.nn.relu(bn("bn_a")(h, use_running_average=not train, packed_t=pk.T))
+            h = pk.conv2d_packed(x, pk.expand_pointwise(conv_a, t))
+            h = jax.nn.relu(bn("bn_a")(h, use_running_average=not train, packed_t=t))
             conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
-            h = pk.conv2d_packed(h, pk.expand_depthwise(conv_b[:, :, :, 0, :]), stride=s, padding=1)
-            h = bn("bn_b")(h, use_running_average=not train, packed_t=pk.T)
+            h = pk.conv2d_packed(h, pk.expand_depthwise(conv_b[:, :, :, 0, :], t), stride=s, padding=1)
+            h = bn("bn_b")(h, use_running_average=not train, packed_t=t)
             if self.se_reduced_dim > 0:
                 w_r, b_r, w_e, b_e = SqueezeExcite(
                     self.dim_inner, self.se_reduced_dim, name="se"
                 )(None, return_params=True)
-                h = pk.se_packed(h, w_r, b_r, w_e, b_e)
+                h = pk.se_packed(h, w_r, b_r, w_e, b_e, t)
             h = swish(h)
             conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-            h = pk.conv2d_packed(h, pk.expand_pointwise(conv_c))
-            return bn("bn_c")(h, use_running_average=not train, packed_t=pk.T)
+            h = pk.conv2d_packed(h, pk.expand_pointwise(conv_c, t))
+            return bn("bn_c")(h, use_running_average=not train, packed_t=t)
 
         if fused_residual:
             assert not train and self.stride == (1, 1, 1) and self.dim_in == self.dim_out
@@ -334,8 +350,8 @@ class X3DResBlock(nn.Module):
         return None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool, packed: bool = False) -> jax.Array:
-        if not packed:
+    def __call__(self, x: jax.Array, *, train: bool, packed_t: int = 0) -> jax.Array:
+        if not packed_t:
             mode = self._fuse_mode(x, train)
             if mode:
                 return X3DBottleneck(
@@ -347,21 +363,19 @@ class X3DResBlock(nn.Module):
         shortcut = x
         if needs_proj:
             proj = self.param("proj", torch_conv_kernel_init, (1, 1, 1, self.dim_in, self.dim_out))
-            if packed:
+            if packed_t:
                 from change3d_tpu.ops import packed as pk
 
                 shortcut = pk.conv2d_packed(
-                    x, pk.expand_pointwise(proj[0, 0, 0]), stride=self.stride[1]
+                    x, pk.expand_pointwise(proj[0, 0, 0], packed_t), stride=self.stride[1]
                 )
             else:
                 shortcut = conv3d(x, proj, stride=self.stride, padding=(0, 0, 0))
             if self.dim_in != self.dim_out:
                 bn_p = BatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name="proj_bn")
-                if packed:
-                    from change3d_tpu.ops import packed as pk
-
+                if packed_t:
                     shortcut = bn_p(
-                        shortcut, use_running_average=not train, packed_t=pk.T
+                        shortcut, use_running_average=not train, packed_t=packed_t
                     )
                 else:
                     shortcut = bn_p(shortcut, use_running_average=not train)
@@ -374,7 +388,7 @@ class X3DResBlock(nn.Module):
             self.bn_momentum,
             self.bn_eps,
             name="bottleneck",
-        )(x, train=train, packed=packed)
+        )(x, train=train, packed_t=packed_t)
         return jax.nn.relu(shortcut + branch)
 
 
@@ -390,7 +404,7 @@ class BlockPair(nn.Module):
     train: bool
     fused_inference: bool = False
     fused_htiled: bool = False
-    packed: bool = False
+    packed_t: int = 0
 
     @nn.compact
     def __call__(self, x, _):
@@ -401,10 +415,10 @@ class BlockPair(nn.Module):
             fused_htiled=self.fused_htiled,
         )
         x = X3DResBlock(se_reduced_dim=0, name="a", **common)(
-            x, train=self.train, packed=self.packed
+            x, train=self.train, packed_t=self.packed_t
         )
         x = X3DResBlock(se_reduced_dim=self.se_reduced_dim, name="b", **common)(
-            x, train=self.train, packed=self.packed
+            x, train=self.train, packed_t=self.packed_t
         )
         return x, None
 
@@ -424,7 +438,18 @@ class X3DStage(nn.Module):
     dim_in: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        train: bool,
+        packed_in: int = 0,
+        keep_packed: bool = False,
+    ) -> jax.Array:
+        """``packed_in > 0``: x arrives time-packed [B, H, W, C*T] with
+        T = packed_in frames; ``keep_packed``: leave the output packed when
+        this stage itself runs packed (the Encoder then carries the packed
+        layout across enhance/taps instead of round-tripping)."""
         i = self.stage_idx
         cfg = self.cfg
         depth = cfg.stage_depths[i]
@@ -436,11 +461,11 @@ class X3DStage(nn.Module):
             cfg.stage_spatial_stride[i],
         )
 
-        packed = (
-            (i in cfg.packed_eval_stages)
-            and cfg.stage_temporal_stride[i] == 1
-            and (not train or cfg.packed_train)
-        )
+        # Packed execution works for any clip length T (the ops/packed.py
+        # expansions are T-parameterized); T is read from the activation shape
+        # at trace time so SCD (T=5) / BDA (T=4) pack correctly too.
+        t = packed_in if packed_in else x.shape[1]
+        packed_t = t if block_runs_packed(cfg, i + 1, train) else 0
 
         def block(b, dim_in, stride):
             return X3DResBlock(
@@ -456,11 +481,13 @@ class X3DStage(nn.Module):
                 name=f"block{b}",
             )
 
-        if packed:
-            from change3d_tpu.ops import packed as pk
+        from change3d_tpu.ops import packed as pk
 
+        if packed_t and not packed_in:
             x = pk.pack(x)
-        x = block(0, self.dim_in, first_stride)(x, train=train, packed=packed)
+        elif packed_in and not packed_t:
+            x = pk.unpack(x, packed_in)
+        x = block(0, self.dim_in, first_stride)(x, train=train, packed_t=packed_t)
         rest = depth - 1
         n_pairs = rest // 2
         if cfg.scan_blocks and n_pairs > 0:
@@ -474,17 +501,17 @@ class X3DStage(nn.Module):
                 length=n_pairs,
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
-                cfg.fused_inference, cfg.fused_htiled, packed,
+                cfg.fused_inference, cfg.fused_htiled, packed_t,
                 name="pairs",
             )
             x, _ = scanned(x, None)
             if rest % 2:  # trailing odd-index (non-SE) block
-                x = block(depth - 1, dim_out, (1, 1, 1))(x, train=train, packed=packed)
+                x = block(depth - 1, dim_out, (1, 1, 1))(x, train=train, packed_t=packed_t)
         else:
             for b in range(1, depth):
-                x = block(b, dim_out, (1, 1, 1))(x, train=train, packed=packed)
-        if packed:
-            x = pk.unpack(x)
+                x = block(b, dim_out, (1, 1, 1))(x, train=train, packed_t=packed_t)
+        if packed_t and not keep_packed:
+            x = pk.unpack(x, packed_t)
         return x
 
 
@@ -535,12 +562,24 @@ class X3D(nn.Module):
         ]
         self.head = X3DHead(self.cfg)
 
-    def run_block(self, i: int, x: jax.Array, *, train: bool) -> jax.Array:
+    def run_block(
+        self,
+        i: int,
+        x: jax.Array,
+        *,
+        train: bool,
+        packed_in: int = 0,
+        keep_packed: bool = False,
+    ) -> jax.Array:
         """Block i of [stem, stage1..stage4] — mirrors x3d.blocks[i]
-        (ref: /root/reference/model/trainer.py:127-139)."""
+        (ref: /root/reference/model/trainer.py:127-139). ``packed_in`` /
+        ``keep_packed`` carry the time-packed layout across block boundaries
+        (see block_runs_packed)."""
         if i == 0:
-            return self.stem(x, train=train)
-        return self.stages[i - 1](x, train=train)
+            return self.stem(x, train=train, keep_packed=keep_packed)
+        return self.stages[i - 1](
+            x, train=train, packed_in=packed_in, keep_packed=keep_packed
+        )
 
     def __call__(self, x: jax.Array, *, train: bool = False, classify: bool = False):
         for i in range(5):

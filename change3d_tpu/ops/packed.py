@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-T = 3  # Change3D clips are [pre, perception..., post] with temporal stride 1
+# Default clip length (BCD/CC: [pre, perception, post]). Every function below
+# is parameterized over t — SCD packs T=5 and BDA T=4 clips; callers in
+# models/x3d.py always pass the actual T read from the activation shape.
+T = 3
 
 _DN2D = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
 
