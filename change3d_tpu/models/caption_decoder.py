@@ -167,9 +167,23 @@ def beam_search_decode(
     pad_token: int = 0,
     max_len: int = MAX_CAPTION_LEN,
 ):
-    """Fixed-shape batched beam search matching the reference's semantics:
-    cumulative (unnormalized) log-prob ranking, beams retire on <end>, best
-    completed sequence wins (ref: /root/reference/scripts/train_CC.py:256-332).
+    """Fixed-shape batched beam search with the reference's exact semantics
+    (ref: /root/reference/scripts/train_CC.py:256-332):
+
+    - cumulative (unnormalized) log-prob ranking;
+    - a beam that emits <end> is *retired*: it's recorded as a completed
+      sequence and the live beam width shrinks by one (the reference's
+      ``k -= len(complete_inds)``), so later steps keep fewer continuations;
+    - the answer is the highest-scoring completed sequence over the whole
+      search (the reference's max over ``complete_seqs_scores``), tracked in
+      the scan carry so a completion can never be lost;
+    - if nothing completes within the length budget, fall back to the best
+      live beam (the reference's fallback path would crash there; this is the
+      bounded, documented divergence).
+
+    Fixed shapes throughout: retirement is expressed as k slots with an
+    ``alive`` mask and a per-batch live-width counter — rank-r candidates
+    with r >= live width are discarded exactly like the reference's shrink.
 
     memory: [B, S, E]. Returns (tokens [B, max_len], scores [B]).
     """
@@ -181,39 +195,51 @@ def beam_search_decode(
     tokens = jnp.full((b * k, max_len), pad_token, jnp.int32).at[:, 0].set(start_token)
     # Beam 0 active, others -inf so the first expansion fans out from one beam.
     scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b,))
-    finished = jnp.zeros((b * k,), bool)
+    alive = jnp.tile(jnp.arange(k) == 0, (b,))  # [B*k]
+    n_live = jnp.full((b,), k, jnp.int32)  # reference's shrinking k
+    best_tokens = jnp.full((b, max_len), pad_token, jnp.int32)
+    best_scores = jnp.full((b,), neg_inf)
 
     def step(carry, t):
-        tokens, scores, finished = carry
+        tokens, scores, alive, n_live, best_tokens, best_scores = carry
         logits = apply_fn(variables, tokens, mem)  # [B*k, L, V]
         logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
-        # Finished beams: freeze — only <pad> continuation at zero cost.
-        frozen = jnp.full((v,), neg_inf).at[pad_token].set(0.0)
-        logp = jnp.where(finished[:, None], frozen[None, :], logp)
-        cand = scores[:, None] + logp  # [B*k, V]
+        # Dead slots (retired or never populated) produce no candidates.
+        cand = jnp.where(alive[:, None], scores[:, None] + logp, neg_inf)
         cand = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, k]
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, k] ranked desc
         beam_idx = top_idx // v + jnp.arange(b)[:, None] * k  # into [B*k]
         tok_idx = top_idx % v
-        tokens = tokens[beam_idx.reshape(-1)]
-        finished = finished[beam_idx.reshape(-1)]
-        new_tok = jnp.where(finished, pad_token, tok_idx.reshape(-1))
-        tokens = tokens.at[:, t].set(new_tok)
-        finished = finished | (new_tok == end_token)
-        return (tokens, top_scores.reshape(-1), finished), None
+        tokens = tokens[beam_idx.reshape(-1)].reshape(b, k, max_len)
+        tokens = tokens.at[:, :, t].set(tok_idx)
+        # Only the first n_live ranked candidates are kept (shrunk width).
+        kept = jnp.arange(k)[None, :] < n_live[:, None]  # [B, k]
+        kept = kept & (top_scores > neg_inf / 2)  # no live parents -> nothing kept
+        done_now = kept & (tok_idx == end_token)
+        # Record this step's best completion into the running best.
+        step_best = jnp.max(jnp.where(done_now, top_scores, neg_inf), axis=1)
+        step_arg = jnp.argmax(jnp.where(done_now, top_scores, neg_inf), axis=1)
+        improved = step_best > best_scores
+        best_scores = jnp.where(improved, step_best, best_scores)
+        best_tokens = jnp.where(
+            improved[:, None], tokens[jnp.arange(b), step_arg], best_tokens
+        )
+        n_live = n_live - jnp.sum(done_now, axis=1).astype(jnp.int32)
+        alive = (kept & ~done_now).reshape(-1)
+        scores = jnp.where(alive, top_scores.reshape(-1), neg_inf)
+        return (tokens.reshape(b * k, max_len), scores, alive, n_live, best_tokens, best_scores), None
 
-    (tokens, scores, finished), _ = jax.lax.scan(
-        step, (tokens, scores, finished), jnp.arange(1, max_len)
+    (tokens, scores, alive, n_live, best_tokens, best_scores), _ = jax.lax.scan(
+        step,
+        (tokens, scores, alive, n_live, best_tokens, best_scores),
+        jnp.arange(1, max_len),
     )
-    # Prefer finished beams (reference only falls back to unfinished ones when
-    # nothing completed).
-    pick_scores = jnp.where(finished, scores, scores + neg_inf)
-    pick_scores = jnp.where(
-        jnp.any(finished.reshape(b, k), axis=1, keepdims=True),
-        pick_scores.reshape(b, k),
-        scores.reshape(b, k),
-    )
-    best = jnp.argmax(pick_scores, axis=1)
-    tokens = tokens.reshape(b, k, max_len)[jnp.arange(b), best]
-    return tokens, pick_scores[jnp.arange(b), best]
+    # Fallback when nothing completed: best live beam.
+    any_done = best_scores > neg_inf / 2
+    live_scores = jnp.where(alive, scores, neg_inf).reshape(b, k)
+    fb = jnp.argmax(live_scores, axis=1)
+    fb_tokens = tokens.reshape(b, k, max_len)[jnp.arange(b), fb]
+    out_tokens = jnp.where(any_done[:, None], best_tokens, fb_tokens)
+    out_scores = jnp.where(any_done, best_scores, live_scores[jnp.arange(b), fb])
+    return out_tokens, out_scores

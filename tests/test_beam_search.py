@@ -62,6 +62,80 @@ def test_beams_freeze_after_end():
             assert np.all(row[ends[0] + 1 :] == PAD)
 
 
+def _log_softmax(x):
+    x = x - x.max(-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+
+def _reference_beam_oracle(apply_tokens, variables, memory_row, k, max_len):
+    """Plain-Python transliteration of the reference's beam-search loop
+    (ref: /root/reference/scripts/train_CC.py:256-332): beams retire on <end>
+    (k shrinks), all completions are kept, highest-scoring completion wins.
+    memory_row: [S, E] for one image. Returns (tokens list, score) or None if
+    nothing completed."""
+    mem_full = jnp.tile(jnp.asarray(memory_row)[None], (k, 1, 1))
+    k_prev_words = np.full((k, max_len), PAD, np.int64)
+    k_prev_words[:, 0] = START
+    seqs = np.full((k, 1), START, np.int64)
+    top_k_scores = np.zeros((k, 1))
+    complete_seqs, complete_scores = [], []
+    step = 1
+    while True:
+        s = k_prev_words.shape[0]
+        logits = np.asarray(
+            apply_tokens(variables, jnp.asarray(k_prev_words, np.int32), mem_full[:s])
+        ).astype(np.float64)
+        scores = _log_softmax(logits[:, step - 1])  # [s, V]
+        vocab = scores.shape[-1]
+        scores = top_k_scores + scores
+        if step == 1:
+            flat = scores[0]
+        else:
+            flat = scores.reshape(-1)
+        order = np.argsort(-flat)[:k]
+        top_scores, top_words = flat[order], order
+        prev = top_words // vocab if step > 1 else np.zeros(k, np.int64)
+        nxt = top_words % vocab if step > 1 else top_words
+        seqs = np.concatenate([seqs[prev], nxt[:, None]], axis=1)
+        incomplete = [i for i, w in enumerate(nxt) if w != END]
+        complete = [i for i in range(len(nxt)) if i not in incomplete]
+        if complete:
+            complete_seqs.extend(seqs[complete].tolist())
+            complete_scores.extend(top_scores[complete].tolist())
+        k -= len(complete)
+        if k == 0:
+            break
+        seqs = seqs[incomplete]
+        top_k_scores = top_scores[incomplete][:, None]
+        k_prev_words = k_prev_words[prev[incomplete]]
+        k_prev_words[:, : step + 1] = seqs
+        if step > max_len - 2:
+            break
+        step += 1
+    if not complete_scores:
+        return None
+    i = int(np.argmax(complete_scores))
+    return complete_seqs[i], complete_scores[i]
+
+
+def test_beam_k3_k5_match_reference_oracle():
+    _, variables, memory, apply_tokens = _setup()
+    for k in (3, 5):
+        got_tokens, got_scores = beam_search_decode(
+            apply_tokens, variables, memory,
+            beam_size=k, start_token=START, end_token=END, pad_token=PAD, max_len=L,
+        )
+        got_tokens, got_scores = np.asarray(got_tokens), np.asarray(got_scores)
+        for row in range(memory.shape[0]):
+            oracle = _reference_beam_oracle(apply_tokens, variables, memory[row], k, L)
+            if oracle is None:
+                continue  # nothing completed: ours falls back to best live beam
+            ref_seq, ref_score = oracle
+            got = [int(t) for t in got_tokens[row] if int(t) != PAD]
+            assert got == [int(t) for t in ref_seq], (k, row, got, ref_seq)
+            np.testing.assert_allclose(got_scores[row], ref_score, rtol=1e-4)
+
+
 def test_wider_beam_never_scores_worse():
     _, variables, memory, apply_tokens = _setup()
     def score(k):
