@@ -4,22 +4,32 @@
 // subprocess (ref: /root/reference/eval_func/meteor/meteor.py:22-29) — with an
 // in-process native library exposed through a C ABI for ctypes.
 //
-// Algorithm (Banerjee & Lavie 2005 / Lavie & Agarwal 2007): align hypothesis
-// and reference unigrams in matcher stages (exact, then Porter-stemmed),
-// choosing per-stage the alignment that maximizes matches; compute
-//   P = m/|hyp|, R = m/|ref|, Fmean = P*R / (alpha*P + (1-alpha)*R)
-//   penalty = gamma * (chunks/m)^beta,  score = (1 - penalty) * Fmean.
-// The reference jar additionally uses synonym/paraphrase tables
-// (paraphrase-en.gz), which are missing blobs in the reference repo itself;
-// this implementation documents that divergence and keeps the standard
-// exact+stem stages.
+// Scoring follows Meteor 1.5 (Denkowski & Lavie 2014) for English:
+//   - matcher stages exact (weight 1.0) then Porter-stem (weight 0.6);
+//   - content/function-word weighting: each token weighs delta if it is a
+//     content word and (1-delta) if it is a function word;
+//   - P = weighted_matches_hyp / weighted_len_hyp,
+//     R = weighted_matches_ref / weighted_len_ref,
+//     Fmean = P*R / (alpha*P + (1-alpha)*R),
+//     frag = chunks / ((m_hyp + m_ref)/2),
+//     score = (1 - gamma * frag^beta) * Fmean;
+//   - per segment the best-scoring reference's statistics are kept, and the
+//     corpus ("final") score is computed from the *summed* statistics, the
+//     way the jar's aggregate EVAL line works
+//     (ref: /root/reference/eval_func/meteor/meteor.py:33-56).
+// Default parameters are the Meteor 1.5 English set: alpha=0.85, beta=0.2,
+// gamma=0.6, delta=0.75.
 //
-// Parameters default to METEOR-for-English alpha=0.9, beta=3.0, gamma=0.5.
+// Documented divergences from meteor-1.5.jar: the jar's synonym (WordNet) and
+// paraphrase (paraphrase-en.gz) stages are absent — those tables are missing
+// blobs in the reference repo itself — and the function-word list is a
+// built-in common-English list rather than the jar's corpus-frequency list.
 
 #include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <map>
+#include <set>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -183,20 +193,69 @@ std::vector<std::string> tokenize(const char* s) {
   return out;
 }
 
-// Stage-wise greedy alignment: for each stage, match each unmatched hyp token
-// to the first unmatched ref token with the same key.
-struct Alignment {
-  int matches = 0;
+// Common-English function words (articles, pronouns, prepositions,
+// conjunctions, auxiliaries, common adverbial particles). Approximates the
+// jar's corpus-frequency-derived function.words list.
+const std::set<std::string>& function_words() {
+  static const std::set<std::string> words = {
+      "a",     "an",    "the",   "and",  "or",    "but",   "nor",   "so",
+      "yet",   "of",    "in",    "on",   "at",    "to",    "from",  "by",
+      "with",  "about", "as",    "into", "like",  "through", "after", "over",
+      "between", "out", "against", "during", "without", "before", "under",
+      "around", "among", "for",  "is",   "am",    "are",   "was",   "were",
+      "be",    "been",  "being", "have", "has",   "had",   "do",    "does",
+      "did",   "will",  "would", "shall", "should", "may", "might", "must",
+      "can",   "could", "i",     "you",  "he",    "she",   "it",    "we",
+      "they",  "me",    "him",   "her",  "us",    "them",  "my",    "your",
+      "his",   "its",   "our",   "their", "mine", "yours", "hers",  "ours",
+      "theirs", "this", "that",  "these", "those", "there", "here", "where",
+      "when",  "what",  "which", "who",  "whom",  "whose", "why",   "how",
+      "not",   "no",    "if",    "then", "than",  "too",   "very",  "just",
+      "also",  "up",    "down",  "off",  "some",  "any",   "all",   "both",
+      "each",  "few",   "more",  "most", "other", "such",  "only",  "own",
+      "same",  "s",     "t",     "now",  "while", "because", "until", "again",
+  };
+  return words;
+}
+
+inline double word_weight(const std::string& w, double delta) {
+  return function_words().count(w) ? (1.0 - delta) : delta;
+}
+
+// Sufficient statistics of one segment's alignment (Meteor 1.5 MeteorStats).
+struct Stats {
+  double wm_hyp = 0.0;   // stage- and delta-weighted matches, hypothesis side
+  double wm_ref = 0.0;   // same, reference side
+  double wlen_hyp = 0.0; // delta-weighted hypothesis length
+  double wlen_ref = 0.0; // delta-weighted reference length
+  int matches = 0;       // raw match count (both sides; unigram stages are 1-1)
   int chunks = 0;
+  double score = 0.0;    // segment score (used only to pick the best reference)
 };
 
-Alignment align(const std::vector<std::string>& hyp, const std::vector<std::string>& ref) {
+double score_from(const Stats& s, double alpha, double beta, double gamma) {
+  if (s.matches == 0 || s.wlen_hyp <= 0.0 || s.wlen_ref <= 0.0) return 0.0;
+  double p = s.wm_hyp / s.wlen_hyp;
+  double r = s.wm_ref / s.wlen_ref;
+  if (p + r == 0.0) return 0.0;
+  double fmean = p * r / (alpha * p + (1.0 - alpha) * r);
+  double frag = static_cast<double>(s.chunks) / s.matches;  // m_hyp == m_ref here
+  double penalty = gamma * std::pow(frag, beta);
+  return (1.0 - penalty) * fmean;
+}
+
+// Stage-wise greedy alignment: for each stage, match each unmatched hyp token
+// to the first unmatched ref token with the same key. Stage weights: exact
+// 1.0, Porter-stem 0.6 (Meteor 1.5 English module weights).
+Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>& ref,
+            double alpha, double beta, double gamma, double delta, double w_stem) {
   PorterStemmer stemmer;
   size_t nh = hyp.size(), nr = ref.size();
   std::vector<int> hyp_to_ref(nh, -1);
+  std::vector<double> stage_w(nh, 0.0);
   std::vector<bool> ref_used(nr, false);
 
-  auto run_stage = [&](bool stemmed) {
+  auto run_stage = [&](bool stemmed, double w) {
     std::vector<std::string> hk(nh), rk(nr);
     for (size_t i = 0; i < nh; i++) hk[i] = stemmed ? stemmer.stem(hyp[i]) : hyp[i];
     for (size_t i = 0; i < nr; i++) rk[i] = stemmed ? stemmer.stem(ref[i]) : ref[i];
@@ -206,36 +265,50 @@ Alignment align(const std::vector<std::string>& hyp, const std::vector<std::stri
         if (ref_used[jj]) continue;
         if (hk[i] == rk[jj]) {
           hyp_to_ref[i] = static_cast<int>(jj);
+          stage_w[i] = w;
           ref_used[jj] = true;
           break;
         }
       }
     }
   };
-  run_stage(false);
-  run_stage(true);
+  run_stage(false, 1.0);
+  run_stage(true, w_stem);
 
-  Alignment a;
+  Stats s;
+  for (size_t i = 0; i < nh; i++) s.wlen_hyp += word_weight(hyp[i], delta);
+  for (size_t j = 0; j < nr; j++) s.wlen_ref += word_weight(ref[j], delta);
   int prev_ref = -2;
   for (size_t i = 0; i < nh; i++) {
     if (hyp_to_ref[i] < 0) continue;
-    a.matches++;
-    if (hyp_to_ref[i] != prev_ref + 1) a.chunks++;
+    s.matches++;
+    if (hyp_to_ref[i] != prev_ref + 1) s.chunks++;
     prev_ref = hyp_to_ref[i];
+    s.wm_hyp += stage_w[i] * word_weight(hyp[i], delta);
+    s.wm_ref += stage_w[i] * word_weight(ref[hyp_to_ref[i]], delta);
   }
-  return a;
+  s.score = score_from(s, alpha, beta, gamma);
+  return s;
 }
 
-double sentence_score(const std::vector<std::string>& hyp, const std::vector<std::string>& ref,
-                      double alpha, double beta, double gamma) {
-  Alignment a = align(hyp, ref);
-  if (a.matches == 0 || hyp.empty() || ref.empty()) return 0.0;
-  double p = static_cast<double>(a.matches) / hyp.size();
-  double r = static_cast<double>(a.matches) / ref.size();
-  double fmean = p * r / (alpha * p + (1.0 - alpha) * r);
-  double frag = static_cast<double>(a.chunks) / a.matches;
-  double penalty = gamma * std::pow(frag, beta);
-  return (1.0 - penalty) * fmean;
+Stats best_reference_stats(const char* hypothesis, const char* references_nl,
+                           double alpha, double beta, double gamma, double delta,
+                           double w_stem) {
+  auto hyp = tokenize(hypothesis);
+  Stats best;
+  bool first = true;
+  std::istringstream ss(references_nl);
+  std::string line;
+  while (std::getline(ss, line)) {
+    if (line.empty()) continue;
+    auto ref = tokenize(line.c_str());
+    Stats s = align(hyp, ref, alpha, beta, gamma, delta, w_stem);
+    if (first || s.score > best.score) {
+      best = s;
+      first = false;
+    }
+  }
+  return best;
 }
 
 }  // namespace
@@ -245,16 +318,42 @@ extern "C" {
 // Best score over the (newline-separated) references for one hypothesis.
 double meteor_sentence(const char* hypothesis, const char* references_nl,
                        double alpha, double beta, double gamma) {
-  auto hyp = tokenize(hypothesis);
-  double best = 0.0;
-  std::istringstream ss(references_nl);
-  std::string line;
-  while (std::getline(ss, line)) {
-    if (line.empty()) continue;
-    auto ref = tokenize(line.c_str());
-    best = std::max(best, sentence_score(hyp, ref, alpha, beta, gamma));
-  }
-  return best;
+  // delta / stem weight fixed at the Meteor 1.5 English values.
+  return best_reference_stats(hypothesis, references_nl, alpha, beta, gamma, 0.75, 0.6)
+      .score;
+}
+
+// Best-reference sufficient statistics for one segment, written into out[7]:
+// [wm_hyp, wm_ref, wlen_hyp, wlen_ref, matches, chunks, segment_score].
+// Aggregating these across segments and applying score_from gives the jar's
+// corpus-level final score.
+void meteor_segment_stats(const char* hypothesis, const char* references_nl,
+                          double alpha, double beta, double gamma, double delta,
+                          double w_stem, double* out) {
+  Stats s = best_reference_stats(hypothesis, references_nl, alpha, beta, gamma,
+                                 delta, w_stem);
+  out[0] = s.wm_hyp;
+  out[1] = s.wm_ref;
+  out[2] = s.wlen_hyp;
+  out[3] = s.wlen_ref;
+  out[4] = static_cast<double>(s.matches);
+  out[5] = static_cast<double>(s.chunks);
+  out[6] = s.score;
+}
+
+// Corpus score from aggregated statistics (micro-average, the jar's "final
+// score" semantics).
+double meteor_corpus_from_stats(double wm_hyp, double wm_ref, double wlen_hyp,
+                                double wlen_ref, double matches, double chunks,
+                                double alpha, double beta, double gamma) {
+  Stats s;
+  s.wm_hyp = wm_hyp;
+  s.wm_ref = wm_ref;
+  s.wlen_hyp = wlen_hyp;
+  s.wlen_ref = wlen_ref;
+  s.matches = static_cast<int>(matches);
+  s.chunks = static_cast<int>(chunks);
+  return score_from(s, alpha, beta, gamma);
 }
 
 // Porter stem into caller buffer (for tests); returns written length.

@@ -78,21 +78,84 @@ def test_cider_matches_vendored():
     np.testing.assert_allclose(got, expected, rtol=1e-5)
 
 
-def test_meteor_identical_sentence_scores_high():
+def test_meteor_identical_sentence_exact():
     s = "a building appeared on the road"
     score = corpus_meteor([[s]], [s])
-    # Perfect match, one chunk: penalty = 0.5*(1/m)^3, F=1.
-    assert 0.95 < score <= 1.0
+    # Perfect match (P = R = Fmean = 1), one chunk over m=6 matches:
+    # score = 1 - gamma * (1/6)^beta with the Meteor 1.5 English parameters.
+    expected = 1.0 - 0.6 * (1.0 / 6.0) ** 0.2
+    np.testing.assert_allclose(score, expected, rtol=1e-9)
 
 
 def test_meteor_stem_matching():
-    # 'buildings' should match 'building' via the stem stage.
-    score = corpus_meteor([["many building appear"]], ["many buildings appeared"])
-    assert score > 0.8
+    # 'buildings'/'appeared' match 'building'/'appear' via the stem stage
+    # (weight 0.6); without stemming only 'many' matches.
+    stemmed = corpus_meteor([["many building appear"]], ["many buildings appeared"])
+    unstemmed = corpus_meteor([["many cars vanish"]], ["many trucks flew"])
+    assert stemmed > unstemmed > 0.0
+    # Hand-computed: all three words content words. wm = 0.75*(1 + 0.6 + 0.6),
+    # wlen = 2.25 both sides, m=3 in 1 chunk.
+    p = 0.75 * 2.2 / 2.25
+    expected = (p * p / (0.85 * p + 0.15 * p)) * (1 - 0.6 * (1 / 3) ** 0.2)
+    np.testing.assert_allclose(stemmed, expected, rtol=1e-9)
 
 
 def test_meteor_disjoint_is_zero():
     assert corpus_meteor([["x y z"]], ["a b c"]) == 0.0
+
+
+def test_meteor_corpus_is_micro_aggregated():
+    # Corpus score must come from summed statistics, not a mean of sentence
+    # scores: combine a perfect long segment with a fragmented short one and
+    # check against hand-aggregated stats.
+    from change3d_tpu.metrics.caption.meteor import (
+        score_from_stats,
+        segment_stats,
+        sentence_meteor,
+    )
+
+    refs = [["a big building appeared near the old road"], ["water on road"]]
+    hyps = ["a big building appeared near the old road", "road on water"]
+    got = corpus_meteor(refs, hyps)
+    totals = [0.0] * 6
+    for r, h in zip(refs, hyps):
+        for k, v in enumerate(segment_stats(r, h)):
+            totals[k] += v
+    np.testing.assert_allclose(got, score_from_stats(*totals), rtol=1e-12)
+    macro = np.mean([sentence_meteor(r, h) for r, h in zip(refs, hyps)])
+    assert abs(got - macro) > 1e-3  # the two aggregations genuinely differ
+
+
+def test_meteor_function_words_downweighted():
+    # A miss on a function word ('the') costs less than a miss on a content
+    # word ('tower') in an otherwise identical sentence.
+    ref = [["the tower collapsed"]]
+    miss_function = corpus_meteor(ref, ["a tower collapsed"])
+    miss_content = corpus_meteor(ref, ["the house collapsed"])
+    assert miss_function > miss_content
+
+
+def test_meteor_native_matches_python():
+    # The ctypes C++ core and the pure-Python fallback implement the same
+    # algorithm; their sufficient statistics must agree.
+    from change3d_tpu.metrics.caption import meteor as m
+
+    if m._load_native() is None:
+        pytest.skip("no C++ toolchain")
+    refs = [
+        ["the scene is the same as before"],
+        ["a row of houses appeared along the road", "many buildings built beside the path"],
+        ["trees were removed and a playground was constructed"],
+    ]
+    hyps = [
+        "the scene is the same as before",
+        "several houses appear along the roads",
+        "a playground replaced the trees",
+    ]
+    for r, h in zip(refs, hyps):
+        native = m.segment_stats(r, h)
+        python = m._py_segment_stats(r, h)
+        np.testing.assert_allclose(native, python, rtol=1e-9, atol=1e-12)
 
 
 def test_eval_caption_scores_keys():
