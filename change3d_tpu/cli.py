@@ -83,19 +83,77 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--dropout", type=float, default=0.1)
     cc.add_argument("--grad_clip", type=float, default=5.0)
     cc.add_argument("--beam_size", type=int, default=1)
+    cc.add_argument(
+        "--fine_tune_encoder", action=argparse.BooleanOptionalAction, default=True,
+        help="fine-tune the X3D encoder (--no-fine_tune_encoder freezes it; "
+        "ref: train_CC.py:439-455,643)",
+    )
     cc.set_defaults(batch_size=32, lr=1e-4)
 
-    pred = sub.add_parser("predict", help="batch inference: write masks for a directory of pairs")
-    pred.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    pred = sub.add_parser(
+        "predict",
+        help="batch inference: write masks (bcd/scd/bda) or captions (cc) for a split",
+    )
+    pred.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
     pred.add_argument("--checkpoint", required=True, help="experiment dir containing best/")
     pred.add_argument("--file_root", required=True)
     pred.add_argument("--split", default="test")
-    pred.add_argument("--out", required=True, help="output directory for PNG masks")
+    pred.add_argument("--out", required=True, help="output directory (PNG masks / captions.json)")
     pred.add_argument("--num_class", type=int, default=1)
     pred.add_argument("--in_height", type=int, default=256)
     pred.add_argument("--in_width", type=int, default=256)
     pred.add_argument("--batch_size", type=int, default=16)
+    # cc-only predict flags
+    pred.add_argument("--dataset", default="LEVIR_CC_5_cap_per_img_5_min_word_freq")
+    pred.add_argument("--word_map", default=None)
+    pred.add_argument("--beam_size", type=int, default=1)
+    pred.add_argument("--embed_dim", type=int, default=192)
+    pred.add_argument("--n_head", type=int, default=8)
+    pred.add_argument("--n_layer", type=int, default=3)
     return parser
+
+
+def run_predict_captions(args):
+    """Decode captions for every image pair in a caption split and write
+    ``captions.json`` (one entry per image: {"image_id", "caption"})."""
+    import json
+
+    import numpy as np
+
+    from change3d_tpu.data.datasets import CaptionDataset
+    from change3d_tpu.data.pipeline import DataLoader, caption_collate
+    from change3d_tpu.inference import CaptionPredictor
+    from change3d_tpu.train.caption_loop import (
+        CaptionRunConfig,
+        _EveryFifth,
+        build_caption_model,
+        load_word_map,
+    )
+
+    cfg = CaptionRunConfig(
+        file_root=args.file_root, dataset=args.dataset, word_map=args.word_map,
+        embed_dim=args.embed_dim, n_head=args.n_head, n_layer=args.n_layer,
+    )
+    word_map = load_word_map(cfg)
+    ds = _EveryFifth(CaptionDataset(args.file_root, args.dataset, args.split.upper()))
+    sample = ds.__getitem__(0)
+    model = build_caption_model(cfg, len(word_map), in_size=sample["pre"].shape[0])
+    predictor = CaptionPredictor.from_checkpoint(
+        model, args.checkpoint, word_map=word_map, beam_size=args.beam_size
+    )
+    loader = DataLoader(ds, args.batch_size, num_workers=2, collate=caption_collate, pad_final=True)
+    captions, idx = [], 0
+    for batch in loader:
+        valid = batch.pop("valid", np.ones(len(batch["pre"]), bool))
+        texts = predictor.caption(batch["pre"], batch["post"])
+        for i, text in enumerate(texts):
+            if valid[i]:
+                captions.append({"image_id": idx, "caption": text})
+                idx += 1
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "captions.json"), "w") as f:
+        json.dump(captions, f, indent=1)
+    print(f"wrote {idx} captions to {os.path.join(args.out, 'captions.json')}")
 
 
 def run_predict(args):
@@ -177,6 +235,8 @@ def main(argv=None):
 
         return run_caption_training(args)
     elif args.task == "predict":
+        if args.model_task == "cc":
+            return run_predict_captions(args)
         return run_predict(args)
 
 

@@ -37,7 +37,12 @@ from change3d_tpu.data.datasets import CaptionDataset
 from change3d_tpu.data.pipeline import DataLoader, caption_collate, device_prefetch
 from change3d_tpu.models.caption_decoder import MAX_CAPTION_LEN, beam_search_decode
 from change3d_tpu.models.trainer import Change3D, Task
-from change3d_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from change3d_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    multiple_of_devices,
+)
 from change3d_tpu.train.engine import create_train_state, make_train_step
 from change3d_tpu.train.lr import shrink_schedule
 from change3d_tpu.train.optim import torch_adam
@@ -229,12 +234,18 @@ def run_caption_training(args) -> Dict[str, float]:
         seed=args.seed,
         pretrained=args.pretrained,
         resume=args.resume,
+        fine_tune_encoder=getattr(args, "fine_tune_encoder", True),
     )
     word_map = load_word_map(cfg)
     vocab_size = len(word_map)
     mesh = make_mesh()
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
+    for f in ("batch_size", "eval_batch_size"):
+        rounded = multiple_of_devices(getattr(cfg, f), mesh)
+        if rounded != getattr(cfg, f):
+            print(f"{f} {getattr(cfg, f)} rounded up to {rounded} to divide over the mesh")
+            cfg = dataclasses.replace(cfg, **{f: rounded})
 
     save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_cc_lr_{cfg.lr}")
     logger = setup_logger(save_path, dataclasses.asdict(cfg))
@@ -290,15 +301,22 @@ def run_caption_training(args) -> Dict[str, float]:
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        losses, accs = [], []
-        for batch in device_prefetch(train_loader, bsh):
+        losses, top1s = [], []
+        last_metrics = None
+        for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             batch.pop("all_captions", None)
-            state, metrics = train_step(state, batch, rng)
-            losses.append(metrics)
-        host = jax.device_get(losses[-1]) if losses else {"loss": np.nan, "top1": np.nan}
+            state, last_metrics = train_step(state, batch, rng)
+            if i % 50 == 0:  # periodic host sync only; keeps the device queue full
+                host = jax.device_get(last_metrics)
+                losses.append(float(host["loss"]))
+                top1s.append(float(host["top1"]))
+        if last_metrics is not None:
+            host = jax.device_get(last_metrics)
+            losses.append(float(host["loss"]))
+            top1s.append(float(host["top1"]))
         print(
-            f"[epoch {epoch}] loss {float(host['loss']):.4f} top1 {float(host['top1']):.2f} "
-            f"({time.time() - t0:.1f}s)"
+            f"[epoch {epoch}] loss {np.mean(losses) if losses else np.nan:.4f} "
+            f"top1 {np.mean(top1s) if top1s else np.nan:.2f} ({time.time() - t0:.1f}s)"
         )
 
         scores = evaluate_captions(
@@ -311,5 +329,15 @@ def run_caption_training(args) -> Dict[str, float]:
             ckpt.save_best(state.variables)
         results = scores
 
+    # Final: reload the best weights and re-evaluate (mirrors the detection
+    # loop and the reference's end-of-run test pass).
+    try:
+        best_vars = ckpt.restore_best(state.variables)
+        results = evaluate_captions(
+            model, best_vars, eval_loader, word_map, cfg.beam_size, save_dir=save_path
+        )
+        logger.log_epoch(-1, results, split="test_best")
+    except Exception as e:  # no best saved (e.g., 0-epoch smoke runs)
+        print(f"best-model evaluation skipped: {e}")
     logger.close()
     return results
