@@ -124,7 +124,11 @@ def block_runs_packed(cfg: X3DConfig, i: int, train: bool) -> bool:
     activations packed *across* block boundaries (enhance + taps run packed),
     eliminating interior pack/unpack pairs."""
     if i == 0:
-        return (not train) and -1 in cfg.packed_eval_stages and cfg.stem_conv_stride[0] == 1
+        return (
+            -1 in cfg.packed_eval_stages
+            and cfg.stem_conv_stride[0] == 1
+            and (not train or cfg.packed_train)
+        )
     s = i - 1
     return (
         s in cfg.packed_eval_stages
@@ -190,13 +194,9 @@ class X3DStem(nn.Module):
             xp = pk.conv2d_packed(
                 xp, pk.expand_depthwise(conv_t[:, :, :, 0, :], t)
             )
-            a, b = bn(
-                jnp.zeros((1, c_out), x.dtype), use_running_average=True, return_folded=True
-            )
-            xp = (
-                xp * pk.repeat_per_channel(a, t).astype(xp.dtype)
-                + pk.repeat_per_channel(b, t).astype(xp.dtype)
-            )
+            # Packed-aware BN handles both eval (repeated running stats) and
+            # train (per-c batch statistics over batch/space/t).
+            xp = bn(xp, use_running_average=not train, packed_t=t)
             xp = jax.nn.relu(xp)
             return xp if keep_packed else pk.unpack(xp, t)
 

@@ -75,8 +75,9 @@ def test_packed_training_path_unchanged():
 
 def test_packed_train_matches_standard():
     # packed_train: forward outputs, gradients, and BN running-stat updates
-    # must all match the standard path.
-    cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(0, 1), packed_train=True)
+    # must all match the standard path (stem included: packed-aware BN batch
+    # statistics make the stem trainable packed too).
+    cfg_packed = dataclasses.replace(TINY, packed_eval_stages=(-1, 0, 1), packed_train=True)
     model = X3D(TINY)
     model_packed = X3D(cfg_packed)
     x = jnp.asarray(np.random.RandomState(4).randn(2, 3, 16, 16, 3), jnp.float32)
