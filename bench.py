@@ -40,9 +40,20 @@ def main():
     from change3d_tpu.models.x3d import x3d_l_config
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    # Time-packed stage 1 (ops/packed.py): measured +10% on this chip
-    # (478 vs 433 pairs/s); equality-tested against the standard path.
-    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
+    # Time-packed stage 1 (ops/packed.py), equality-tested against the
+    # standard path. Measured on this chip (round 2): none 430, (0,) 481,
+    # (-1,0) 455, (-1,0,1) 405 pairs/s — the stem's dense banded temporal
+    # expansion pays T x the MACs on the largest spatial map and loses more
+    # than its lane-occupancy win, so stage-1-only is the production set.
+    # argv[2] overrides the packed stage set for A/B measurement (e.g. "-1,0"
+    # or "none").
+    stages = (0,)
+    if len(sys.argv) > 2:
+        stages = (
+            () if sys.argv[2] == "none"
+            else tuple(int(s) for s in sys.argv[2].split(","))
+        )
+    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=stages)
     model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
     rng = jax.random.PRNGKey(0)
     pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
