@@ -186,6 +186,15 @@ class X3DStem(nn.Module):
         if block_runs_packed(self.cfg, 0, train):
             from change3d_tpu.ops import packed as pk
 
+            # Fully-packed stem. Measured on the bench config (batch 64,
+            # bf16, 256², with stage 1 also packed): no stem packing 481,
+            # this dense-spatial variant 455, a hybrid that kept the spatial
+            # conv per-frame and packed only the temporal conv 438 pairs/s —
+            # stem packing LOSES on this chip in every form (the standard
+            # stem's convs lower well despite C=24 lane padding), so -1 is
+            # not in any production packed-stage set; the path is kept for
+            # configs where a fully-packed pipeline matters more than the
+            # stem itself (and it is train-capable via packed BN stats).
             xp = pk.pack(x)
             xp = pk.conv2d_packed(
                 xp, pk.expand_conv_spatial(conv_s[0], t), stride=ss, padding=1
