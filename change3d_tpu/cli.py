@@ -110,7 +110,36 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--embed_dim", type=int, default=192)
     pred.add_argument("--n_head", type=int, default=8)
     pred.add_argument("--n_layer", type=int, default=3)
+
+    exp = sub.add_parser(
+        "export",
+        help="AOT-export a trained detection model to a portable StableHLO "
+        "artifact (weights baked in, symbolic batch; serve with "
+        "change3d_tpu.export.load_exported)",
+    )
+    exp.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    exp.add_argument("--checkpoint", required=True, help="experiment dir containing best/")
+    exp.add_argument("--out", required=True, help="output artifact path")
+    exp.add_argument("--num_class", type=int, default=1)
+    exp.add_argument("--in_height", type=int, default=256)
+    exp.add_argument("--in_width", type=int, default=256)
+    exp.add_argument("--platforms", default="cpu,tpu")
     return parser
+
+
+def run_export(args):
+    from change3d_tpu.export import export_from_checkpoint
+    from change3d_tpu.train.loop import build_model, RunConfig
+
+    cfg = RunConfig(
+        task=args.model_task, num_classes=args.num_class,
+        in_height=args.in_height, in_width=args.in_width,
+    )
+    model = build_model(cfg)
+    blob = export_from_checkpoint(
+        model, args.checkpoint, args.out, platforms=tuple(args.platforms.split(","))
+    )
+    print(f"exported {len(blob)} bytes to {args.out}")
 
 
 def run_predict_captions(args):
@@ -238,6 +267,8 @@ def main(argv=None):
         if args.model_task == "cc":
             return run_predict_captions(args)
         return run_predict(args)
+    elif args.task == "export":
+        return run_export(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""AOT model export: serialize a trained Change3D forward to a portable
+StableHLO artifact (``jax.export``) and reload it without the model code.
+
+The reference has no deployment story beyond pickled torch modules; here a
+trained model exports to a single self-contained file whose compiled forward
+can be served by any process with jax installed (CPU/TPU), with weights baked
+in as constants — no flax, no model classes, no checkpoint tree needed at
+serving time. Symbolic batch ("b") keeps one artifact valid for any batch
+size.
+
+Usage:
+    from change3d_tpu.export import export_model, load_exported
+    path = export_model(model, variables, "/models/bcd.stablehlo")
+    fn = load_exported(path)           # (pre, post) -> task output dict
+    masks = fn(pre_batch, post_batch)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def _forward_fn(model, variables, compute_dtype):
+    def forward(pre, post):
+        out = model.apply(
+            variables, pre.astype(compute_dtype), post.astype(compute_dtype), train=False
+        )
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+    return forward
+
+
+def export_model(
+    model,
+    variables,
+    path: Optional[str] = None,
+    *,
+    compute_dtype=jnp.bfloat16,
+    platforms=("cpu", "tpu"),
+    batch: Optional[int] = None,
+) -> bytes:
+    """Export ``model.apply(variables, pre, post, train=False)`` to a
+    serialized StableHLO artifact. Weights are closed over as constants.
+
+    batch=None exports with a symbolic batch dimension (any batch size);
+    pass a concrete batch to pin it. Returns the serialized bytes and, if
+    ``path`` is given, also writes them there.
+    """
+    h, w = model.in_height, model.in_width
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+    fn = jax.jit(_forward_fn(model, variables, compute_dtype))
+    exported = jexport.export(fn, platforms=list(platforms))(spec, spec)
+    blob = exported.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_exported(path_or_bytes) -> Callable:
+    """Load a serialized artifact; returns ``fn(pre, post) -> dict`` taking
+    numpy/jax arrays [B, H, W, 3] float32."""
+    blob = path_or_bytes
+    if isinstance(blob, str):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    exported = jexport.deserialize(blob)
+
+    @functools.wraps(exported.call)
+    def fn(pre, post):
+        return exported.call(jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32))
+
+    return fn
+
+
+def export_from_checkpoint(
+    model, save_path: str, out_path: str, **kw
+) -> bytes:
+    """Convenience: restore the ``best`` checkpoint under ``save_path`` and
+    export it (mirrors Predictor.from_checkpoint)."""
+    from change3d_tpu.checkpoint.orbax_io import CheckpointManager
+    from change3d_tpu.models.trainer import Task
+
+    sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)
+    kwargs = {}
+    if model.task == Task.CC:
+        kwargs["captions"] = jnp.zeros((1, 4), jnp.int32)
+    template = model.init(jax.random.PRNGKey(0), sample, sample, **kwargs)
+    variables = CheckpointManager(save_path).restore_best(
+        {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
+    )
+    return export_model(model, variables, out_path, **kw)

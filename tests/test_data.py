@@ -95,6 +95,44 @@ def test_bcd_dataset_and_loader(bcd_root):
     assert any(not np.array_equal(a, b) for a, b in zip(epoch0, epoch1))
 
 
+def test_loader_deterministic_across_worker_counts(bcd_root):
+    # Per-sample seeded rngs: augmented batches are identical no matter how
+    # the decode work is scheduled over the thread pool.
+    train_tf, _ = make_transform_pipelines("bcd", 16, 16)
+    ds = BCDDataset(bcd_root, "train", train_tf)
+
+    def run(workers):
+        loader = DataLoader(ds, 2, shuffle=True, seed=7, num_workers=workers,
+                            collate=pair_collate, drop_last=True)
+        return [(b["pre"].copy(), b["label"].copy()) for b in loader]
+
+    for (a_p, a_l), (b_p, b_l) in zip(run(1), run(4)):
+        np.testing.assert_array_equal(a_p, b_p)
+        np.testing.assert_array_equal(a_l, b_l)
+
+
+def test_loader_abandoned_iterator_does_not_deadlock(bcd_root):
+    # Breaking out of iteration must release the producer (timeout-aware
+    # puts); a second pass over the loader must still work and be complete.
+    import threading
+
+    _, eval_tf = make_transform_pipelines("bcd", 16, 16)
+    ds = BCDDataset(bcd_root, "test", eval_tf)
+    loader = DataLoader(ds, 1, num_workers=2, collate=pair_collate, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    del it  # abandon mid-epoch with a full queue
+    import gc, time
+
+    gc.collect()
+    assert len(list(loader)) == len(loader)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_padded_final_batch(bcd_root):
     _, eval_tf = make_transform_pipelines("bcd", 16, 16)
     ds = BCDDataset(bcd_root, "test", eval_tf)
