@@ -53,7 +53,10 @@ def main():
             () if sys.argv[2] == "none"
             else tuple(int(s) for s in sys.argv[2].split(","))
         )
-    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=stages)
+    fused = len(sys.argv) > 3 and sys.argv[3] == "fused"
+    backbone = dataclasses.replace(
+        x3d_l_config(), packed_eval_stages=stages, fused_inference=fused
+    )
     model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
     rng = jax.random.PRNGKey(0)
     pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)

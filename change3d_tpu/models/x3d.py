@@ -343,7 +343,10 @@ class X3DResBlock(nn.Module):
     fused_htiled: bool = False
 
     # Per-sample VMEM budget for the fused kernel's padded inner tensor (f32).
-    _FUSED_VMEM_LIMIT = 4 * 1024 * 1024
+    # 6 MB admits stage 3 at 256^2 inputs ((3+2)*34*34*216*4 = 4.99 MB), which
+    # the previous 4 MB budget silently excluded; stage 1/2 still fall back
+    # (18.3 / 9.4 MB).
+    _FUSED_VMEM_LIMIT = 6 * 1024 * 1024
 
     def _fuse_mode(self, x, train: bool):
         if not self.fused_inference or train:
