@@ -88,16 +88,7 @@ def export_from_checkpoint(
     model, save_path: str, out_path: str, **kw
 ) -> bytes:
     """Convenience: restore the ``best`` checkpoint under ``save_path`` and
-    export it (mirrors Predictor.from_checkpoint)."""
-    from change3d_tpu.checkpoint.orbax_io import CheckpointManager
-    from change3d_tpu.models.trainer import Task
+    export it."""
+    from change3d_tpu.inference import restore_best_variables
 
-    sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)
-    kwargs = {}
-    if model.task == Task.CC:
-        kwargs["captions"] = jnp.zeros((1, 4), jnp.int32)
-    template = model.init(jax.random.PRNGKey(0), sample, sample, **kwargs)
-    variables = CheckpointManager(save_path).restore_best(
-        {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
-    )
-    return export_model(model, variables, out_path, **kw)
+    return export_model(model, restore_best_variables(model, save_path), out_path, **kw)

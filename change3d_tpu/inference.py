@@ -25,6 +25,22 @@ from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.models.caption_decoder import MAX_CAPTION_LEN, beam_search_decode
 
 
+def restore_best_variables(model: Change3D, save_path: str):
+    """Restore the ``best`` checkpoint under an experiment dir into a fresh
+    variables template for ``model`` (shared by Predictor and the AOT
+    exporter)."""
+    from change3d_tpu.checkpoint.orbax_io import CheckpointManager
+
+    sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)
+    kwargs = {}
+    if model.task == Task.CC:
+        kwargs["captions"] = jnp.zeros((1, 4), jnp.int32)
+    template = model.init(jax.random.PRNGKey(0), sample, sample, **kwargs)
+    return CheckpointManager(save_path).restore_best(
+        {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
+    )
+
+
 class Predictor:
     def __init__(self, model: Change3D, variables, *, compute_dtype=jnp.bfloat16):
         self.model = model
@@ -44,18 +60,7 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, model: Change3D, save_path: str, **kw) -> "Predictor":
-        from change3d_tpu.checkpoint.orbax_io import CheckpointManager
-        import jax.numpy as jnp
-
-        sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)
-        kwargs = {}
-        if model.task == Task.CC:
-            kwargs["captions"] = jnp.zeros((1, 4), jnp.int32)
-        template = model.init(jax.random.PRNGKey(0), sample, sample, **kwargs)
-        variables = CheckpointManager(save_path).restore_best(
-            {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
-        )
-        return cls(model, variables, **kw)
+        return cls(model, restore_best_variables(model, save_path), **kw)
 
     def predict(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         """pre/post: [B,H,W,3] normalized float images. Returns per-task masks:

@@ -20,6 +20,15 @@ Documented divergences from meteor-1.5.jar: the synonym (WordNet) and
 paraphrase (paraphrase-en.gz) matcher stages are absent (those tables are
 missing blobs in the reference repo itself), and the function-word list is a
 built-in common-English list rather than the jar's corpus-frequency list.
+
+IMPORTANT comparability note: the reference's caption eval feeds *stringified
+token ids* to every scorer, METEOR included (ref:
+/root/reference/model/utils.py:517-519) — and this pipeline does the same
+(metrics/caption/score.py). On digit strings the stem/synonym/paraphrase
+stages and the function-word distinction are no-ops for the jar exactly as
+they are here, so for the production protocol the scores are fully
+comparable to the reference's published numbers; the word-level stages above
+matter only when scoring real text.
 """
 
 from __future__ import annotations
@@ -58,8 +67,10 @@ def _load_native():
     _LIB_TRIED = True
     so = os.path.join(_NATIVE_DIR, "libmeteor.so")
     try:
-        if not os.path.exists(so):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        # Always invoke make: it is dependency-tracked and near-free when
+        # up to date, and it prevents a stale (gitignored) .so built from an
+        # older meteor.cpp from being loaded silently.
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.meteor_sentence.restype = ctypes.c_double
         lib.meteor_sentence.argtypes = [

@@ -103,8 +103,13 @@ class Encoder(nn.Module):
 
         cfg = self.cfg or x3d_l_config()
         x = self._stack_frames(pre, post)
-        t_clip = x.shape[1]
         n = self.num_perception_frames
+
+        # cur_t tracks the temporal length at the current block boundary: read
+        # from the tensor while unpacked, and invariant across packed blocks
+        # (block_runs_packed requires temporal stride 1) — never assumed equal
+        # to the input clip length, in case an earlier block strided time.
+        cur_t = x.shape[1]
 
         if output_final:
             packed_now = 0
@@ -113,7 +118,9 @@ class Encoder(nn.Module):
                 x = self.x3d.run_block(
                     i, x, train=train, packed_in=packed_now, keep_packed=runs
                 )
-                packed_now = t_clip if runs else 0
+                packed_now = cur_t if runs else 0
+                if not packed_now:
+                    cur_t = x.shape[1]
             if packed_now:
                 return x[..., n::packed_now]
             return x[:, n]
@@ -125,7 +132,9 @@ class Encoder(nn.Module):
             x = self.x3d.run_block(
                 i, x, train=train, packed_in=packed_now, keep_packed=runs
             )
-            packed_now = t_clip if runs else 0
+            packed_now = cur_t if runs else 0
+            if not packed_now:
+                cur_t = x.shape[1]
             x = self._enhance(x, i, packed_now)
             if packed_now:
                 taps.append([x[..., idx + 1 :: packed_now] for idx in range(n)])

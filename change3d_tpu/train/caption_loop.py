@@ -302,7 +302,7 @@ def run_caption_training(args) -> Dict[str, float]:
         train_loader.set_epoch(epoch)
         t0 = time.time()
         losses, top1s = [], []
-        last_metrics = None
+        last_metrics, last_sampled = None, -1
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             batch.pop("all_captions", None)
             state, last_metrics = train_step(state, batch, rng)
@@ -310,7 +310,9 @@ def run_caption_training(args) -> Dict[str, float]:
                 host = jax.device_get(last_metrics)
                 losses.append(float(host["loss"]))
                 top1s.append(float(host["top1"]))
-        if last_metrics is not None:
+                last_sampled = i
+            last_i = i
+        if last_metrics is not None and last_i != last_sampled:
             host = jax.device_get(last_metrics)
             losses.append(float(host["loss"]))
             top1s.append(float(host["top1"]))
@@ -330,14 +332,18 @@ def run_caption_training(args) -> Dict[str, float]:
         results = scores
 
     # Final: reload the best weights and re-evaluate (mirrors the detection
-    # loop and the reference's end-of-run test pass).
+    # loop and the reference's end-of-run test pass). Only the *restore* is
+    # allowed to fail softly (no best saved on 0-epoch smoke runs); an eval
+    # failure must surface, not silently return stale last-epoch scores.
+    best_vars = None
     try:
         best_vars = ckpt.restore_best(state.variables)
+    except Exception as e:
+        print(f"best-model evaluation skipped (no best checkpoint): {e}")
+    if best_vars is not None:
         results = evaluate_captions(
             model, best_vars, eval_loader, word_map, cfg.beam_size, save_dir=save_path
         )
         logger.log_epoch(-1, results, split="test_best")
-    except Exception as e:  # no best saved (e.g., 0-epoch smoke runs)
-        print(f"best-model evaluation skipped: {e}")
     logger.close()
     return results

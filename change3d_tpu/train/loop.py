@@ -216,13 +216,15 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        last_metrics = None
+        last_metrics, last_sampled = None, -1
         losses = []
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             state, last_metrics = train_step(state, batch, step_rng)
             if i % 50 == 0:  # periodic host sync only; keeps the device queue full
                 losses.append(float(jax.device_get(last_metrics["loss"])))
-        if last_metrics is not None:
+                last_sampled = i
+            last_i = i
+        if last_metrics is not None and last_i != last_sampled:
             losses.append(float(jax.device_get(last_metrics["loss"])))
         print(f"[epoch {epoch}] train loss {np.mean(losses):.4f} ({time.time() - t0:.1f}s)")
 
@@ -238,13 +240,16 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
             ckpt.save_best(state.variables)
         results["last"] = scores
 
-    # Final: reload best weights and evaluate.
+    # Final: reload best weights and evaluate. Only the restore fails softly
+    # (no best saved on 1-epoch smoke runs); eval errors must surface.
+    best_vars = None
     try:
         best_vars = ckpt.restore_best(state.variables)
+    except Exception as e:
+        print(f"best-model evaluation skipped (no best checkpoint): {e}")
+    if best_vars is not None:
         final_state = state.replace(params=best_vars["params"], batch_stats=best_vars["batch_stats"])
         results["test_best"] = evaluate(final_state)
         logger.log_epoch(-1, results["test_best"], split="test_best")
-    except Exception as e:  # no best saved (e.g., 1-epoch smoke runs)
-        print(f"best-model evaluation skipped: {e}")
     logger.close()
     return results

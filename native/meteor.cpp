@@ -341,20 +341,10 @@ void meteor_segment_stats(const char* hypothesis, const char* references_nl,
   out[6] = s.score;
 }
 
-// Corpus score from aggregated statistics (micro-average, the jar's "final
-// score" semantics).
-double meteor_corpus_from_stats(double wm_hyp, double wm_ref, double wlen_hyp,
-                                double wlen_ref, double matches, double chunks,
-                                double alpha, double beta, double gamma) {
-  Stats s;
-  s.wm_hyp = wm_hyp;
-  s.wm_ref = wm_ref;
-  s.wlen_hyp = wlen_hyp;
-  s.wlen_ref = wlen_ref;
-  s.matches = static_cast<int>(matches);
-  s.chunks = static_cast<int>(chunks);
-  return score_from(s, alpha, beta, gamma);
-}
+// (Corpus aggregation of the per-segment statistics and the final-score
+// formula live in Python — metrics/caption/meteor.py:score_from_stats — so
+// the formula has a single owner; out[6] above ties the native per-segment
+// score to it in the parity tests.)
 
 // Porter stem into caller buffer (for tests); returns written length.
 int meteor_stem(const char* word, char* out, int out_len) {

@@ -152,10 +152,39 @@ def test_meteor_native_matches_python():
         "several houses appear along the roads",
         "a playground replaced the trees",
     ]
+    import ctypes
+
+    lib = m._load_native()
     for r, h in zip(refs, hyps):
         native = m.segment_stats(r, h)
         python = m._py_segment_stats(r, h)
         np.testing.assert_allclose(native, python, rtol=1e-9, atol=1e-12)
+        # Formula parity: the native per-segment score must equal Python's
+        # score_from_stats on the same statistics (single formula owner).
+        out = (ctypes.c_double * 7)()
+        lib.meteor_segment_stats(
+            h.encode(), "\n".join(r).encode(),
+            m.ALPHA, m.BETA, m.GAMMA, m.DELTA, m.W_STEM, out,
+        )
+        np.testing.assert_allclose(out[6], m.score_from_stats(*out[:6]), rtol=1e-12)
+
+
+def test_meteor_token_id_protocol_matches_reference():
+    # The production pipeline (like the reference, ref:
+    # /root/reference/model/utils.py:517-519) scores stringified token ids;
+    # on digit strings stemming and the function-word list are no-ops, so the
+    # score must equal the plain unweighted METEOR formula.
+    from change3d_tpu.metrics.caption.meteor import ALPHA, BETA, GAMMA
+
+    refs = [["5 6 7 8 9"]]
+    hyps = ["5 6 9 8 7"]
+    got = corpus_meteor(refs, hyps)
+    # Alignment ref-indices in hyp order: [0,1,4,3,2] -> chunks (0,1)(4)(3)(2).
+    m, ch, nh, nr = 5, 4, 5, 5
+    p, r = m / nh, m / nr
+    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    expected = (1 - GAMMA * (ch / m) ** BETA) * fmean
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
 
 
 def test_eval_caption_scores_keys():
