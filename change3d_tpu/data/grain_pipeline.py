@@ -1,0 +1,127 @@
+"""Grain-backed input pipeline: a drop-in alternative to data.pipeline.DataLoader.
+
+The threaded loader (data/pipeline.py) is the default and plenty for the
+reference-scale datasets; this wrapper exists for very large corpora where
+decode/augment should scale across *processes* with deterministic,
+checkpointable iteration — Google's grain provides the worker pool, per-record
+RNG streams, and sharding, while batching/collation/padding stay identical to
+the threaded loader so the train loops see the same batch dicts either way.
+
+Usage (same surface as DataLoader):
+    loader = GrainDataLoader(dataset, batch_size, shuffle=True, seed=16,
+                             num_workers=8, collate=pair_collate)
+    for epoch in range(E):
+        loader.set_epoch(epoch)
+        for batch in loader: ...
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from change3d_tpu.data.pipeline import _default_collate
+
+
+class _IndexSource:
+    """Trivial random-access source over record indices; the actual IO and
+    augmentation run inside the (worker-executed) random-map transform so a
+    single source works for every dataset type."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return int(i)
+
+
+class GrainDataLoader:
+    """grain.python.DataLoader wrapper with the threaded loader's interface.
+
+    dataset must expose __len__ and __getitem__(idx, rng) (the repo's dataset
+    protocol). Batching is done here with the same collate functions and
+    pad_final/'valid' semantics as data.pipeline.DataLoader.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 16,
+        drop_last: Optional[bool] = None,
+        num_workers: int = 4,
+        pad_final: bool = False,
+        collate: Optional[Callable] = None,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_workers = max(0, num_workers)
+        self.pad_final = pad_final
+        self.collate = collate or _default_collate
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last and not self.pad_final:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _grain_iter(self):
+        import grain.python as gp
+
+        ds = self.dataset
+
+        class Load(gp.RandomMapTransform):
+            def random_map(self, idx, rng: np.random.Generator):
+                return ds.__getitem__(int(idx), rng)
+
+        sampler = gp.IndexSampler(
+            num_records=len(ds),
+            shuffle=self.shuffle,
+            # Same convention as the threaded loader: the sample order and
+            # augmentation streams are a pure function of (seed, epoch).
+            seed=self.seed + self._epoch,
+            num_epochs=1,
+            shard_options=gp.NoSharding(),
+        )
+        loader = gp.DataLoader(
+            data_source=_IndexSource(len(ds)),
+            sampler=sampler,
+            operations=[Load()],
+            worker_count=self.num_workers,
+            worker_buffer_size=max(1, self.prefetch),
+        )
+        return iter(loader)
+
+    def __iter__(self) -> Iterator:
+        samples = []
+        for sample in self._grain_iter():
+            samples.append(sample)
+            if len(samples) == self.batch_size:
+                yield self.collate(samples)
+                samples = []
+        if not samples:
+            return
+        if self.pad_final:
+            valid = len(samples)
+            samples += [samples[-1]] * (self.batch_size - valid)
+            batch = self.collate(samples)
+            batch = dict(batch) if isinstance(batch, dict) else batch
+            batch["valid"] = np.arange(self.batch_size) < valid
+            yield batch
+        elif not self.drop_last:
+            yield self.collate(samples)
