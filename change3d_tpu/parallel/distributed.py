@@ -31,6 +31,11 @@ def initialize(
         # Single-process (one host controls the slice) — nothing to do.
         initialize._done = True
         return
+    # Multi-process CPU needs a cross-host collectives implementation or each
+    # process silently gets its own single-process client (TPU slices bring
+    # their own via ICI/DCN and ignore this setting).
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
