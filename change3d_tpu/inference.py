@@ -88,7 +88,10 @@ class CaptionPredictor(Predictor):
         self._decode = jax.jit(self._make_decode())
 
     def _make_decode(self):
+        from change3d_tpu.models.caption_decoder import make_incremental_fns
+
         model, dtype, k, wm = self.model, self.compute_dtype, self.beam_size, self.word_map
+        incremental = make_incremental_fns(model)
 
         def decode(variables, pre, post):
             out = model.apply(variables, pre.astype(dtype), post.astype(dtype), train=False)
@@ -103,6 +106,7 @@ class CaptionPredictor(Predictor):
                 end_token=wm["<end>"],
                 pad_token=wm.get("<pad>", 0),
                 max_len=MAX_CAPTION_LEN,
+                incremental=incremental,
             )
             return tokens, scores
 

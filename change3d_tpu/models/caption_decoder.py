@@ -34,7 +34,13 @@ from change3d_tpu.init import (
     uniform_init,
     xavier_uniform_init,
 )
-from change3d_tpu.ops.attention import causal_mask, multi_head_attention
+from change3d_tpu.ops.attention import (
+    attend_projected,
+    causal_mask,
+    multi_head_attention,
+    project_kv,
+    project_q,
+)
 from change3d_tpu.ops.layers import linear
 
 MAX_CAPTION_LEN = 52  # ref: /root/reference/model/caption_decoder.py:299
@@ -56,29 +62,50 @@ class MHAParams(nn.Module):
     out_proj kaiming-normal / zero bias (the reference's recursive
     ``weight_init`` reaches out_proj, ref: /root/reference/model/caption_decoder.py:380
     + /root/reference/model/utils.py:54-57).
+
+    Besides the full-sequence ``__call__``, exposes the projection pieces the
+    KV-cached incremental decode path needs (same parameters, same math).
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, q, k, v, *, attn_mask=None, deterministic: bool = True):
+    def setup(self):
         e = self.embed_dim
-        params = {
-            "in_proj_w": self.param("in_proj_w", xavier_uniform_init, (e, 3 * e)),
-            "in_proj_b": self.param("in_proj_b", nn.initializers.zeros, (3 * e,)),
-            "out_w": self.param("out_w", kaiming_normal_relu_init, (e, e)),
-            "out_b": self.param("out_b", nn.initializers.zeros, (e,)),
+        self.in_proj_w = self.param("in_proj_w", xavier_uniform_init, (e, 3 * e))
+        self.in_proj_b = self.param("in_proj_b", nn.initializers.zeros, (3 * e,))
+        self.out_w = self.param("out_w", kaiming_normal_relu_init, (e, e))
+        self.out_b = self.param("out_b", nn.initializers.zeros, (e,))
+
+    def params_dict(self):
+        return {
+            "in_proj_w": self.in_proj_w,
+            "in_proj_b": self.in_proj_b,
+            "out_w": self.out_w,
+            "out_b": self.out_b,
         }
+
+    def __call__(self, q, k, v, *, attn_mask=None, deterministic: bool = True):
         rng = None
         if not deterministic and self.dropout > 0:
             rng = self.make_rng("dropout")
         return multi_head_attention(
-            q, k, v, params, self.num_heads,
+            q, k, v, self.params_dict(), self.num_heads,
             attn_mask=attn_mask,
             dropout_rate=0.0 if deterministic else self.dropout,
             dropout_rng=rng,
+        )
+
+    def project_kv(self, x):
+        return project_kv(x, self.params_dict(), self.embed_dim)
+
+    def attend_step(self, q_t, kp, vp, *, attn_mask=None):
+        """Single-query attention against projected keys/values."""
+        p = self.params_dict()
+        return attend_projected(
+            project_q(q_t, p), kp, vp, self.num_heads, p["out_w"], p["out_b"],
+            attn_mask=attn_mask,
         )
 
 
@@ -104,18 +131,41 @@ class CaptionDecoderLayer(nn.Module):
     num_heads: int
     dropout: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = MHAParams(self.embed_dim, self.num_heads, self.dropout)
+        self.cross_attn = MHAParams(self.embed_dim, self.num_heads, self.dropout)
+        self.norm1 = LayerNorm(self.embed_dim)
+        self.norm2 = LayerNorm(self.embed_dim)
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+
     def __call__(self, tgt, memory, *, tgt_mask=None, deterministic: bool = True):
-        sa = MHAParams(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
-            tgt, tgt, tgt, attn_mask=tgt_mask, deterministic=deterministic
-        )
-        sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        x1 = LayerNorm(self.embed_dim, name="norm1")(tgt + sa)
-        ca = MHAParams(self.embed_dim, self.num_heads, self.dropout, name="cross_attn")(
-            x1, memory, memory, deterministic=deterministic
-        )
-        ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
-        return LayerNorm(self.embed_dim, name="norm2")(x1 + ca)
+        sa = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask, deterministic=deterministic)
+        sa = self.drop1(sa, deterministic=deterministic)
+        x1 = self.norm1(tgt + sa)
+        ca = self.cross_attn(x1, memory, memory, deterministic=deterministic)
+        ca = self.drop2(ca, deterministic=deterministic)
+        return self.norm2(x1 + ca)
+
+    def step(self, x_t, memory_kv, cache, pos):
+        """KV-cached single-token step (eval-only, deterministic).
+
+        x_t: [B, 1, E]; memory_kv: projected cross-attention (k, v)
+        [B, S, E] each; cache: dict {'k','v'} [B, Lmax, E]; pos: traced
+        position index. Returns (y_t [B, 1, E], new cache). Mathematically
+        identical to the full re-decode at column ``pos`` (shared
+        attend_projected core; LayerNorm is per-token)."""
+        k_t, v_t = self.self_attn.project_kv(x_t)
+        k_all = jax.lax.dynamic_update_slice(cache["k"], k_t.astype(cache["k"].dtype), (0, pos, 0))
+        v_all = jax.lax.dynamic_update_slice(cache["v"], v_t.astype(cache["v"].dtype), (0, pos, 0))
+        lmax = k_all.shape[1]
+        # Causal: attend to positions <= pos only.
+        mask = jnp.where(jnp.arange(lmax) <= pos, 0.0, -jnp.inf)[None, :]
+        sa = self.self_attn.attend_step(x_t, k_all, v_all, attn_mask=mask)
+        x1 = self.norm1(x_t + sa)
+        mk, mv = memory_kv
+        ca = self.cross_attn.attend_step(x1, mk, mv)
+        return self.norm2(x1 + ca), {"k": k_all, "v": v_all}
 
 
 class CaptionDecoder(nn.Module):
@@ -155,6 +205,54 @@ class CaptionDecoder(nn.Module):
         """Teacher-forced training scores: predict caption[1:] from caption[:-1]."""
         return self.decode(captions, memory, deterministic=deterministic)
 
+    # -- KV-cached incremental decode (eval) --------------------------------
+
+    def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        """Per-layer self-attention K/V caches [B, max_len, E]."""
+        z = lambda: jnp.zeros((batch, max_len, self.embed_dim), dtype)
+        return tuple({"k": z(), "v": z()} for _ in range(self.num_layers))
+
+    def precompute_memory_kv(self, memory: jax.Array):
+        """Project each layer's cross-attention keys/values from the image
+        memory once per decode instead of once per step."""
+        return tuple(layer.cross_attn.project_kv(memory) for layer in self.layers)
+
+    def decode_step(self, tokens_t: jax.Array, memory_kv, cache, pos):
+        """One incremental decode step (deterministic).
+
+        tokens_t: [B] int32 tokens at position ``pos``; returns
+        (logits [B, V] for position pos+1, new cache). Equivalent to column
+        ``pos`` of ``decode`` on the full prefix, at O(1) attention cost per
+        step instead of O(len) (the reference re-decodes the whole 52-token
+        prefix every step, ref: /root/reference/scripts/train_CC.py:258-269).
+        """
+        x = jnp.take(self.vocab_embedding, tokens_t, axis=0)[:, None]
+        x = x.astype(memory_kv[0][0].dtype)
+        x = x + jax.lax.dynamic_slice_in_dim(self.pe, pos, 1).astype(x.dtype)[None]
+        new_cache = []
+        for layer, mkv, c in zip(self.layers, memory_kv, cache):
+            x, c2 = layer.step(x, mkv, c, pos)
+            new_cache.append(c2)
+        return linear(x[:, 0], self.out_w, self.out_b), tuple(new_cache)
+
+
+def make_incremental_fns(model):
+    """(precompute, init_cache, step) triple for ``beam_search_decode``'s
+    KV-cached mode, for any flax module exposing the decode-step surface
+    (CaptionDecoder itself, or Change3D which forwards to its decoder)."""
+    step_method = getattr(model, "decode_captions_step", None) or model.decode_step
+
+    def precompute(variables, mem):
+        return model.apply(variables, mem, method=model.precompute_memory_kv)
+
+    def init_cache(variables, batch, max_len):
+        return model.apply(variables, batch, max_len, method=model.init_decode_cache)
+
+    def step(variables, tokens_t, mem_kv, cache, pos):
+        return model.apply(variables, tokens_t, mem_kv, cache, pos, method=step_method)
+
+    return precompute, init_cache, step
+
 
 def beam_search_decode(
     apply_fn,
@@ -166,6 +264,7 @@ def beam_search_decode(
     end_token: int,
     pad_token: int = 0,
     max_len: int = MAX_CAPTION_LEN,
+    incremental=None,
 ):
     """Fixed-shape batched beam search with the reference's exact semantics
     (ref: /root/reference/scripts/train_CC.py:256-332):
@@ -185,6 +284,12 @@ def beam_search_decode(
     ``alive`` mask and a per-batch live-width counter — rank-r candidates
     with r >= live width are discarded exactly like the reference's shrink.
 
+    When ``incremental`` is a (precompute_fn, init_cache_fn, step_fn) triple
+    (see ``make_incremental_fns``), each step decodes ONE token against
+    per-layer KV caches carried through the scan instead of re-decoding the
+    whole prefix — O(L) total attention instead of O(L^2), identical results
+    (equality-tested).
+
     memory: [B, S, E]. Returns (tokens [B, max_len], scores [B]).
     """
     b, s, e = memory.shape
@@ -200,10 +305,20 @@ def beam_search_decode(
     best_tokens = jnp.full((b, max_len), pad_token, jnp.int32)
     best_scores = jnp.full((b,), neg_inf)
 
+    if incremental is not None:
+        precompute_fn, init_cache_fn, step_fn = incremental
+        mem_kv = precompute_fn(variables, mem)
+        cache0 = init_cache_fn(variables, b * k, max_len)
+
     def step(carry, t):
-        tokens, scores, alive, n_live, best_tokens, best_scores = carry
-        logits = apply_fn(variables, tokens, mem)  # [B*k, L, V]
-        logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
+        if incremental is not None:
+            tokens, scores, alive, n_live, best_tokens, best_scores, cache = carry
+            step_logits, cache = step_fn(variables, tokens[jnp.arange(b * k), t - 1], mem_kv, cache, t - 1)
+            logp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+        else:
+            tokens, scores, alive, n_live, best_tokens, best_scores = carry
+            logits = apply_fn(variables, tokens, mem)  # [B*k, L, V]
+            logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
         # Dead slots (retired or never populated) produce no candidates.
         cand = jnp.where(alive[:, None], scores[:, None] + logp, neg_inf)
@@ -228,13 +343,19 @@ def beam_search_decode(
         n_live = n_live - jnp.sum(done_now, axis=1).astype(jnp.int32)
         alive = (kept & ~done_now).reshape(-1)
         scores = jnp.where(alive, top_scores.reshape(-1), neg_inf)
-        return (tokens.reshape(b * k, max_len), scores, alive, n_live, best_tokens, best_scores), None
+        out = (tokens.reshape(b * k, max_len), scores, alive, n_live, best_tokens, best_scores)
+        if incremental is not None:
+            # Beams follow their parents: caches reorder with the same gather.
+            flat_idx = beam_idx.reshape(-1)
+            cache2 = jax.tree_util.tree_map(lambda a: a[flat_idx], cache)
+            out = out + (cache2,)
+        return out, None
 
-    (tokens, scores, alive, n_live, best_tokens, best_scores), _ = jax.lax.scan(
-        step,
-        (tokens, scores, alive, n_live, best_tokens, best_scores),
-        jnp.arange(1, max_len),
-    )
+    carry0 = (tokens, scores, alive, n_live, best_tokens, best_scores)
+    if incremental is not None:
+        carry0 = carry0 + (cache0,)
+    final_carry, _ = jax.lax.scan(step, carry0, jnp.arange(1, max_len))
+    tokens, scores, alive, n_live, best_tokens, best_scores = final_carry[:6]
     # Fallback when nothing completed: best live beam.
     any_done = best_scores > neg_inf / 2
     live_scores = jnp.where(alive, scores, neg_inf).reshape(b, k)

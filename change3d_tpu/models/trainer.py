@@ -121,3 +121,14 @@ class Change3D(nn.Module):
     def decode_captions(self, tokens, memory, *, deterministic: bool = True):
         """Expose the caption decoder for beam search (CC only)."""
         return self.decoder.decode(tokens, memory, deterministic=deterministic)
+
+    # KV-cached incremental decode surface (CC only; see
+    # caption_decoder.make_incremental_fns).
+    def init_decode_cache(self, batch: int, max_len: int):
+        return self.decoder.init_decode_cache(batch, max_len)
+
+    def precompute_memory_kv(self, memory):
+        return self.decoder.precompute_memory_kv(memory)
+
+    def decode_captions_step(self, tokens_t, memory_kv, cache, pos):
+        return self.decoder.decode_step(tokens_t, memory_kv, cache, pos)

@@ -103,7 +103,12 @@ def build_caption_model(cfg: CaptionRunConfig, vocab_size: int, in_size: int = 2
 
 
 def make_decode_fn(model: Change3D, beam_size: int, word_map: Dict[str, int]):
-    """Jittable batched beam decode: (variables, pre, post) -> tokens."""
+    """Jittable batched beam decode: (variables, pre, post) -> tokens.
+    Uses the KV-cached incremental path (O(L) attention; equality-tested
+    against full-prefix re-decode)."""
+    from change3d_tpu.models.caption_decoder import make_incremental_fns
+
+    incremental = make_incremental_fns(model)
 
     def decode(variables, pre, post):
         out = model.apply(variables, pre, post, train=False)
@@ -121,6 +126,7 @@ def make_decode_fn(model: Change3D, beam_size: int, word_map: Dict[str, int]):
             end_token=word_map["<end>"],
             pad_token=word_map.get("<pad>", 0),
             max_len=MAX_CAPTION_LEN,
+            incremental=incremental,
         )
         return tokens, scores
 

@@ -1,0 +1,57 @@
+"""Beam-decode latency: full-prefix re-decode vs KV-cached incremental.
+
+LEVIR-CC-shaped config: embed 192, 3 layers, 8 heads, vocab 500, memory 256
+tokens, max_len 52. Run on TPU."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from change3d_tpu.models.caption_decoder import (
+    CaptionDecoder,
+    beam_search_decode,
+    make_incremental_fns,
+)
+
+B, S, E, V, L = 32, 256, 192, 500, 52
+dec = CaptionDecoder(vocab_size=V, embed_dim=E, num_heads=8, num_layers=3)
+memory = jax.random.normal(jax.random.PRNGKey(0), (B, S, E), jnp.float32)
+variables = dec.init(jax.random.PRNGKey(1), memory, jnp.zeros((B, 4), jnp.int32))
+
+
+def apply_tokens(vs, tokens, mem):
+    return dec.apply(vs, tokens, mem, method=dec.decode)
+
+
+incr = make_incremental_fns(dec)
+
+# Distinct inputs per timed call + a value fetch after each one: the relay
+# dedupes identical dispatches and runs independent ones concurrently, so
+# identical-input loops measure neither latency nor throughput (see
+# ARCHITECTURE.md "Benchmark methodology").
+mems = [memory + 0.01 * i for i in range(5)]
+
+for k in (1, 5):
+    for name, kw in (("full", {}), ("kvcache", {"incremental": incr})):
+        fn = jax.jit(
+            lambda vs, mem, kw=kw, k=k: beam_search_decode(
+                apply_tokens, vs, mem, beam_size=k,
+                start_token=2, end_token=3, pad_token=0, max_len=L, **kw,
+            )
+        )
+        float(fn(variables, memory)[1].sum())  # compile + warm
+        t0 = time.perf_counter()
+        for m in mems:
+            float(fn(variables, m)[1].sum())  # serialize on the value fetch
+        dt = (time.perf_counter() - t0) / len(mems)
+        print(f"k={k} {name:8s} {dt*1e3:8.1f} ms/batch-{B} decode "
+              f"({B/dt:.0f} img/s)", flush=True)

@@ -136,6 +136,48 @@ def test_beam_k3_k5_match_reference_oracle():
             np.testing.assert_allclose(got_scores[row], ref_score, rtol=1e-4)
 
 
+def test_incremental_decode_matches_full_redecode():
+    # KV-cached single-token steps must reproduce the full-prefix decode's
+    # per-position logits exactly (deterministic, fp32).
+    dec, variables, memory, apply_tokens = _setup()
+    from change3d_tpu.models.caption_decoder import make_incremental_fns
+
+    pre_fn, init_fn, step_fn = make_incremental_fns(dec)
+    b = memory.shape[0]
+    tokens = np.full((b, L), PAD, np.int32)
+    tokens[:, 0] = START
+    rng = np.random.RandomState(0)
+    tokens[:, 1:] = rng.randint(4, V, (b, L - 1))  # arbitrary forced prefix
+
+    full = np.asarray(apply_tokens(variables, jnp.asarray(tokens), memory))
+    mem_kv = pre_fn(variables, memory)
+    cache = init_fn(variables, b, L)
+    for t in range(L - 1):
+        logits_t, cache = step_fn(variables, jnp.asarray(tokens[:, t]), mem_kv, cache, t)
+        np.testing.assert_allclose(
+            np.asarray(logits_t), full[:, t], rtol=2e-5, atol=2e-5, err_msg=f"pos {t}"
+        )
+
+
+def test_incremental_beam_matches_full_beam():
+    dec, variables, memory, apply_tokens = _setup()
+    from change3d_tpu.models.caption_decoder import make_incremental_fns
+
+    incr = make_incremental_fns(dec)
+    for k in (1, 3, 5):
+        t_full, s_full = beam_search_decode(
+            apply_tokens, variables, memory,
+            beam_size=k, start_token=START, end_token=END, pad_token=PAD, max_len=L,
+        )
+        t_inc, s_inc = beam_search_decode(
+            apply_tokens, variables, memory,
+            beam_size=k, start_token=START, end_token=END, pad_token=PAD, max_len=L,
+            incremental=incr,
+        )
+        np.testing.assert_array_equal(np.asarray(t_inc), np.asarray(t_full))
+        np.testing.assert_allclose(np.asarray(s_inc), np.asarray(s_full), rtol=1e-5)
+
+
 def test_wider_beam_never_scores_worse():
     _, variables, memory, apply_tokens = _setup()
     def score(k):
