@@ -29,7 +29,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
