@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--grad_clip", type=float, default=5.0)
     cc.add_argument("--beam_size", type=int, default=1)
     cc.add_argument(
+        "--encoder_lr", type=float, default=None,
+        help="separate encoder learning rate (ref --encoder_lr, default: same "
+        "as --lr, which plays the reference's --decoder_lr role)",
+    )
+    cc.add_argument(
         "--fine_tune_encoder", action=argparse.BooleanOptionalAction, default=True,
         help="fine-tune the X3D encoder (--no-fine_tune_encoder freezes it; "
         "ref: train_CC.py:439-455,643)",

@@ -66,7 +66,8 @@ class CaptionRunConfig:
     epochs: int = 200
     batch_size: int = 32
     eval_batch_size: int = 32
-    lr: float = 1e-4
+    lr: float = 1e-4  # decoder lr (ref --decoder_lr)
+    encoder_lr: Optional[float] = None  # ref --encoder_lr; None -> same as lr
     weight_decay: float = 1e-5
     grad_clip: float = 5.0
     embed_dim: int = 192
@@ -229,6 +230,7 @@ def run_caption_training(args) -> Dict[str, float]:
         epochs=args.epochs,
         batch_size=args.batch_size,
         lr=args.lr,
+        encoder_lr=getattr(args, "encoder_lr", None),
         grad_clip=args.grad_clip,
         embed_dim=args.embed_dim,
         n_head=args.n_head,
@@ -273,6 +275,17 @@ def run_caption_training(args) -> Dict[str, float]:
     tx = torch_adam(
         schedule, weight_decay=cfg.weight_decay, grad_clip_value=cfg.grad_clip
     )
+    if cfg.encoder_lr is not None and cfg.encoder_lr != cfg.lr:
+        # Separate encoder/decoder Adams (ref: train_CC.py:439-455).
+        from change3d_tpu.train.optim import per_subtree_lr
+
+        enc_schedule = shrink_schedule(
+            cfg.encoder_lr, steps_per_epoch, shrink_every_epochs=10, factor=0.5
+        )
+        enc_tx = torch_adam(
+            enc_schedule, weight_decay=cfg.weight_decay, grad_clip_value=cfg.grad_clip
+        )
+        tx = per_subtree_lr(enc_tx, tx)
     if not cfg.fine_tune_encoder:
         from change3d_tpu.train.optim import freeze_subtree
 

@@ -37,6 +37,24 @@ def torch_adam(
     return optax.chain(*parts)
 
 
+def per_subtree_lr(
+    encoder_tx: optax.GradientTransformation,
+    decoder_tx: optax.GradientTransformation,
+    encoder_prefix: str = "encoder",
+) -> optax.GradientTransformation:
+    """Two optimizers keyed by top-level param subtree — the reference's
+    separate encoder/decoder Adams with independent learning rates
+    (ref: /root/reference/scripts/train_CC.py:439-455)."""
+
+    def label(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "encoder" if str(path[0].key) == encoder_prefix else "decoder",
+            params,
+        )
+
+    return optax.multi_transform({"encoder": encoder_tx, "decoder": decoder_tx}, label)
+
+
 def freeze_subtree(tx: optax.GradientTransformation, frozen_prefix: str) -> optax.GradientTransformation:
     """Zero all updates under a top-level param subtree (the reference's
     ``fine_tune_encoder=False`` mode, ref: /root/reference/scripts/train_CC.py:439-448:

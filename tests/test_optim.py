@@ -60,6 +60,24 @@ def test_freeze_subtree():
     assert not np.allclose(np.asarray(new["decoder"]["w"]), 1.0)
 
 
+def test_per_subtree_lr():
+    # Encoder and decoder get independent optimizers (ref train_CC.py:439-455):
+    # with lr_enc = 10x lr_dec and identical unit grads through plain SGD-like
+    # scaling, the encoder update must be 10x the decoder's.
+    from change3d_tpu.train.optim import per_subtree_lr
+
+    tx = per_subtree_lr(
+        optax.sgd(1e-1), optax.sgd(1e-2)
+    )
+    params = {"encoder": {"w": jnp.ones(3)}, "decoder": {"w": jnp.ones(3)}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["encoder"]["w"]), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["decoder"]["w"]), 0.99, rtol=1e-6)
+
+
 def test_poly_warmup_schedule_matches_reference_formula():
     # ref: /root/reference/model/utils.py:130-143
     lr, max_iter, spe = 2e-4, 1000, 400
