@@ -107,21 +107,28 @@ class GrainDataLoader:
         )
         return iter(loader)
 
+    def _finalize(self, samples, valid: int):
+        batch = self.collate(samples)
+        if self.pad_final:
+            # 'valid' is attached to EVERY batch (same pytree structure across
+            # the epoch — a jitted eval step must not retrace on the final
+            # batch), exactly like the threaded DataLoader.
+            batch = dict(batch) if isinstance(batch, dict) else batch
+            batch["valid"] = np.arange(self.batch_size) < valid
+        return batch
+
     def __iter__(self) -> Iterator:
         samples = []
         for sample in self._grain_iter():
             samples.append(sample)
             if len(samples) == self.batch_size:
-                yield self.collate(samples)
+                yield self._finalize(samples, self.batch_size)
                 samples = []
         if not samples:
             return
         if self.pad_final:
             valid = len(samples)
             samples += [samples[-1]] * (self.batch_size - valid)
-            batch = self.collate(samples)
-            batch = dict(batch) if isinstance(batch, dict) else batch
-            batch["valid"] = np.arange(self.batch_size) < valid
-            yield batch
+            yield self._finalize(samples, valid)
         elif not self.drop_last:
             yield self.collate(samples)

@@ -207,8 +207,11 @@ class CaptionDecoder(nn.Module):
 
     # -- KV-cached incremental decode (eval) --------------------------------
 
-    def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
-        """Per-layer self-attention K/V caches [B, max_len, E]."""
+    def init_decode_cache(self, batch: int, max_len: int, dtype=None):
+        """Per-layer self-attention K/V caches [B, max_len, E]. Pass the
+        memory dtype so bf16 serving carries bf16 caches (the hottest decode
+        arrays) instead of silently widening to f32."""
+        dtype = dtype or jnp.float32
         z = lambda: jnp.zeros((batch, max_len, self.embed_dim), dtype)
         return tuple({"k": z(), "v": z()} for _ in range(self.num_layers))
 
@@ -245,8 +248,8 @@ def make_incremental_fns(model):
     def precompute(variables, mem):
         return model.apply(variables, mem, method=model.precompute_memory_kv)
 
-    def init_cache(variables, batch, max_len):
-        return model.apply(variables, batch, max_len, method=model.init_decode_cache)
+    def init_cache(variables, batch, max_len, dtype=None):
+        return model.apply(variables, batch, max_len, dtype, method=model.init_decode_cache)
 
     def step(variables, tokens_t, mem_kv, cache, pos):
         return model.apply(variables, tokens_t, mem_kv, cache, pos, method=step_method)
@@ -307,8 +310,11 @@ def beam_search_decode(
 
     if incremental is not None:
         precompute_fn, init_cache_fn, step_fn = incremental
-        mem_kv = precompute_fn(variables, mem)
-        cache0 = init_cache_fn(variables, b * k, max_len)
+        # Project cross-attention K/V from the UN-repeated memory (the k
+        # beam copies per image are identical rows), then repeat the results.
+        mem_kv = precompute_fn(variables, memory)
+        mem_kv = jax.tree_util.tree_map(lambda a: jnp.repeat(a, k, axis=0), mem_kv)
+        cache0 = init_cache_fn(variables, b * k, max_len, memory.dtype)
 
     def step(carry, t):
         if incremental is not None:

@@ -124,8 +124,8 @@ class Change3D(nn.Module):
 
     # KV-cached incremental decode surface (CC only; see
     # caption_decoder.make_incremental_fns).
-    def init_decode_cache(self, batch: int, max_len: int):
-        return self.decoder.init_decode_cache(batch, max_len)
+    def init_decode_cache(self, batch: int, max_len: int, dtype=None):
+        return self.decoder.init_decode_cache(batch, max_len, dtype)
 
     def precompute_memory_kv(self, memory):
         return self.decoder.precompute_memory_kv(memory)

@@ -32,9 +32,12 @@ def initialize(
         initialize._done = True
         return
     # Multi-process CPU needs a cross-host collectives implementation or each
-    # process silently gets its own single-process client (TPU slices bring
-    # their own via ICI/DCN and ignore this setting).
-    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+    # process silently gets its own single-process client. Set it whenever the
+    # platform is (or may default to) CPU — on TPU/GPU the setting is inert,
+    # while skipping it on a CPU-default host reproduces the silent-isolation
+    # failure.
+    platforms = jax.config.jax_platforms
+    if platforms is None or "cpu" in str(platforms):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -38,7 +38,7 @@ incr = make_incremental_fns(dec)
 # dedupes identical dispatches and runs independent ones concurrently, so
 # identical-input loops measure neither latency nor throughput (see
 # ARCHITECTURE.md "Benchmark methodology").
-mems = [memory + 0.01 * i for i in range(5)]
+mems = [memory + 0.01 * i for i in range(1, 6)]  # all distinct from the warmup input
 
 for k in (1, 5):
     for name, kw in (("full", {}), ("kvcache", {"incremental": incr})):

@@ -2,16 +2,16 @@
 
 Launches two fresh processes that both call parallel.distributed.initialize
 against a local coordinator, build the global data mesh (2 hosts x 2 local
-CPU devices = 4 global devices), and run a psum over it — validating the
-multi-host init path end-to-end, not just its argument plumbing.
+CPU devices = 4 global devices), jit-reduce a mesh-sharded global array to a
+replicated scalar (GSPMD cross-host all-reduce), and process_allgather a
+host value — validating the multi-host init and mesh-collective paths
+end-to-end, not just their argument plumbing.
 """
 
 import os
 import socket
 import subprocess
 import sys
-
-import pytest
 
 _WORKER = r"""
 import os, sys
@@ -27,8 +27,10 @@ initialize(
     num_processes=2,
     process_id=int(sys.argv[1]),
 )
+import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 from change3d_tpu.parallel.mesh import make_mesh, batch_sharding
 
 assert jax.process_count() == 2, jax.process_count()
@@ -36,11 +38,18 @@ assert len(jax.devices()) == 4, jax.devices()
 mesh = make_mesh()
 assert len(mesh.devices.flat) == 4
 
-# Global psum across both processes' devices through the mesh.
+# A real collective through the mesh: build a global array sharded over the
+# 'data' axis (each process contributes its 2 local shards) and jit-reduce it
+# to a replicated scalar — GSPMD emits the cross-host all-reduce.
+local = np.full((2,), float(jax.process_index() + 1), np.float32)
+garr = jax.make_array_from_process_local_data(batch_sharding(mesh), local, (4,))
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+assert float(total) == 6.0, total  # 1 + 1 + 2 + 2
+
+# And host-level aggregation for metrics-style code.
 from jax.experimental import multihost_utils
-local = jnp.asarray([float(jax.process_index() + 1)])
-total = multihost_utils.process_allgather(local).sum()
-assert float(total) == 3.0, total  # 1 + 2
+ag = multihost_utils.process_allgather(jnp.asarray([float(jax.process_index() + 1)]))
+assert float(ag.sum()) == 3.0, ag
 print(f"proc {jax.process_index()} primary={is_primary()} ok", flush=True)
 """
 

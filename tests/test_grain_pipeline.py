@@ -35,6 +35,8 @@ def test_grain_loader_pad_final(bcd_root):  # noqa: F811
     batches = list(loader)
     assert len(batches) == 2
     assert batches[1]["pre"].shape[0] == 4
+    # 'valid' is present on EVERY batch (stable pytree structure for jit).
+    np.testing.assert_array_equal(batches[0]["valid"], [True] * 4)
     np.testing.assert_array_equal(batches[1]["valid"], [True, False, False, False])
 
 
