@@ -37,6 +37,11 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument(
+        "--loader", default="threaded", choices=["threaded", "grain"],
+        help="input pipeline: 'threaded' (in-process worker threads, default) "
+        "or 'grain' (grain.python process-pool workers)",
+    )
+    p.add_argument(
         "--remat", action=argparse.BooleanOptionalAction, default=True,
         help="rematerialize block pairs (default on: batch-16 256^2 training "
         "exceeds 16GB HBM without it)",
@@ -84,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--grad_clip", type=float, default=5.0)
     cc.add_argument("--beam_size", type=int, default=1)
     cc.add_argument(
+        "--eval_batch_size", type=int, default=None,
+        help="decode batch size for per-epoch eval (default: config default)",
+    )
+    cc.add_argument(
         "--encoder_lr", type=float, default=None,
         help="separate encoder learning rate (ref --encoder_lr, default: same "
         "as --lr, which plays the reference's --decoder_lr role)",
@@ -129,7 +138,50 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--in_height", type=int, default=256)
     exp.add_argument("--in_width", type=int, default=256)
     exp.add_argument("--platforms", default="cpu,tpu")
+
+    vc = sub.add_parser(
+        "verify-checkpoint",
+        help="strict-convert a real X3D_L.pyth, run a per-block forward on a "
+        "canonical probe, and (with --trace) compare against a torch trace "
+        "recorded by tools/record_torch_trace.py",
+    )
+    vc.add_argument("--pretrained", required=True, help="path to X3D_L.pyth")
+    vc.add_argument("--trace", default=None, help="ref_acts.npz from tools/record_torch_trace.py")
+    vc.add_argument("--report", default=None, help="write the report as JSON here")
+    vc.add_argument("--frames", type=int, default=3)
+    vc.add_argument("--height", type=int, default=64)
+    vc.add_argument("--width", type=int, default=64)
+    vc.add_argument("--seed", type=int, default=0)
+    vc.add_argument("--rtol", type=float, default=None)
+    vc.add_argument("--atol", type=float, default=None)
     return parser
+
+
+def run_verify_checkpoint(args) -> int:
+    import json
+
+    from change3d_tpu.checkpoint.verify import (
+        DEFAULT_ATOL,
+        DEFAULT_RTOL,
+        format_report,
+        verify_checkpoint,
+    )
+
+    report = verify_checkpoint(
+        args.pretrained,
+        args.trace,
+        t=args.frames,
+        h=args.height,
+        w=args.width,
+        seed=args.seed,
+        rtol=args.rtol if args.rtol is not None else DEFAULT_RTOL,
+        atol=args.atol if args.atol is not None else DEFAULT_ATOL,
+    )
+    print(format_report(report))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0 if report["all_pass"] in (True, None) else 1
 
 
 def run_export(args):
@@ -262,6 +314,7 @@ def main(argv=None):
             compute_dtype=args.compute_dtype,
             remat=args.remat,
             packed=args.packed,
+            loader=args.loader,
         )
         return run_detection_training(cfg)
     elif args.task == "cc":
@@ -274,6 +327,8 @@ def main(argv=None):
         return run_predict(args)
     elif args.task == "export":
         return run_export(args)
+    elif args.task == "verify-checkpoint":
+        return run_verify_checkpoint(args)
 
 
 if __name__ == "__main__":

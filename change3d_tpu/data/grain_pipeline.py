@@ -59,7 +59,18 @@ class GrainDataLoader:
         pad_final: bool = False,
         collate: Optional[Callable] = None,
         prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        if batch_size % max(num_shards, 1) != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide over {num_shards} processes"
+            )
+        if pad_final and max(num_shards, 1) > 1:
+            # grain shards the record stream (interleaved), so the padded
+            # final-batch global-position bookkeeping the threaded loader does
+            # is not expressible here; use the threaded loader for sharded eval.
+            raise ValueError("GrainDataLoader does not support pad_final with num_shards > 1")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -69,13 +80,18 @@ class GrainDataLoader:
         self.pad_final = pad_final
         self.collate = collate or _default_collate
         self.prefetch = prefetch
+        self.num_shards = max(num_shards, 1)
+        self.shard_index = shard_index
+        self.local_batch_size = batch_size // self.num_shards
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        # Global batch count: each process draws local_batch_size records per
+        # batch from its shard of ~n/num_shards records.
+        n_local = len(self.dataset) // self.num_shards
         if self.drop_last and not self.pad_final:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n_local // self.local_batch_size
+        return -(-n_local // self.local_batch_size)
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -89,14 +105,29 @@ class GrainDataLoader:
             def random_map(self, idx, rng: np.random.Generator):
                 return ds.__getitem__(int(idx), rng)
 
+        # Per-epoch seed is a SeedSequence hash of (seed, epoch): epoch e of
+        # seed s must NOT replay epoch e-1 of seed s+1 (which `seed + epoch`
+        # would). The stream still differs from the threaded DataLoader's
+        # (seed, epoch, batch, slot) tuple seeding — runs are reproducible
+        # within a loader, not sample-for-sample identical across loaders.
+        epoch_seed = int(
+            np.random.SeedSequence([self.seed, self._epoch]).generate_state(1)[0]
+        )
+        shard_options = (
+            gp.ShardOptions(
+                shard_index=self.shard_index,
+                shard_count=self.num_shards,
+                drop_remainder=True,
+            )
+            if self.num_shards > 1
+            else gp.NoSharding()
+        )
         sampler = gp.IndexSampler(
             num_records=len(ds),
             shuffle=self.shuffle,
-            # Same convention as the threaded loader: the sample order and
-            # augmentation streams are a pure function of (seed, epoch).
-            seed=self.seed + self._epoch,
+            seed=epoch_seed,
             num_epochs=1,
-            shard_options=gp.NoSharding(),
+            shard_options=shard_options,
         )
         loader = gp.DataLoader(
             data_source=_IndexSource(len(ds)),
@@ -121,8 +152,8 @@ class GrainDataLoader:
         samples = []
         for sample in self._grain_iter():
             samples.append(sample)
-            if len(samples) == self.batch_size:
-                yield self._finalize(samples, self.batch_size)
+            if len(samples) == self.local_batch_size:
+                yield self._finalize(samples, self.local_batch_size)
                 samples = []
         if not samples:
             return

@@ -22,8 +22,20 @@ import jax
 
 
 def shard_batch(batch, sharding):
-    """Transfer a host batch (pytree of np arrays) onto the mesh."""
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """Transfer a host batch (pytree of np arrays) onto the mesh.
+
+    Single-process: a plain device_put against the target sharding.
+    Multi-process (``jax.process_count() > 1``): each process holds only its
+    slice of the global batch (see DataLoader num_shards/shard_index), so the
+    global array is assembled with ``jax.make_array_from_process_local_data``
+    — each host contributes the rows its addressable devices own.
+    """
+    if sharding.is_fully_addressable:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
 
 
 class DataLoader:
@@ -33,6 +45,16 @@ class DataLoader:
     numpy pytrees; incomplete final batches are dropped in training (so jitted
     shapes stay static) and padded in eval (with a 'valid' mask so metrics can
     ignore padding on device).
+
+    Multi-host: ``batch_size`` is always the GLOBAL batch size. With
+    ``num_shards=jax.process_count(), shard_index=jax.process_index()`` every
+    process computes the same global index order (the shuffle is a pure
+    function of (seed, epoch)) but decodes only its contiguous
+    ``batch_size // num_shards`` slice of each batch — no redundant IO — and
+    yields that local slice; ``shard_batch`` reassembles the global array.
+    The global batch composition is identical to a single-process run, so a
+    2-process run computes bit-equal losses to a 1-process run of the same
+    global batch (tested in tests/test_distributed.py).
     """
 
     def __init__(
@@ -47,7 +69,13 @@ class DataLoader:
         pad_final: bool = False,
         collate: Optional[Callable] = None,
         prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        if batch_size % max(num_shards, 1) != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide over {num_shards} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +85,9 @@ class DataLoader:
         self.pad_final = pad_final
         self.collate = collate or _default_collate
         self.prefetch = prefetch
+        self.num_shards = max(num_shards, 1)
+        self.shard_index = shard_index
+        self.local_batch_size = batch_size // self.num_shards
         self._epoch = 0
 
     def __len__(self):
@@ -87,13 +118,18 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator:
-        batches = self._index_batches()
+        # Every process computes the same global batches, then takes its
+        # contiguous slice; rows are rng-seeded by GLOBAL slot so a sharded
+        # run's global batch is sample-for-sample the single-process batch.
+        lo = self.shard_index * self.local_batch_size
+        hi = lo + self.local_batch_size
+        batches = [(idxs[lo:hi], valid) for idxs, valid in self._index_batches()]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def load_sample(bi, j, idx):
             # Seeded per-sample rng: augmentation is reproducible regardless of
-            # worker scheduling.
+            # worker scheduling (and of process sharding: j is the global slot).
             rng = np.random.default_rng((self.seed, self._epoch, bi, j))
             return self.dataset.__getitem__(int(idx), rng)
 
@@ -123,7 +159,7 @@ class DataLoader:
                         if nxt is not None:
                             bi, (idxs, valid) = nxt
                             futs = [
-                                pool.submit(load_sample, bi, j, idx)
+                                pool.submit(load_sample, bi, lo + j, idx)
                                 for j, idx in enumerate(idxs)
                             ]
                             window.append((futs, valid))
@@ -137,7 +173,9 @@ class DataLoader:
                         batch = self.collate(samples)
                         if self.pad_final:
                             batch = dict(batch) if isinstance(batch, dict) else batch
-                            batch["valid"] = (np.arange(self.batch_size) < valid)
+                            # 'valid' is a global-position mask sliced to this
+                            # process's rows.
+                            batch["valid"] = (np.arange(self.batch_size) < valid)[lo:hi]
                         if not offer(batch):
                             return
             except Exception as e:  # propagate to consumer
@@ -157,6 +195,29 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def make_data_loader(kind: str, dataset, batch_size: int, **kwargs):
+    """Loader factory: ``kind`` is 'threaded' (this module's DataLoader) or
+    'grain' (grain.python process-pool workers; see data/grain_pipeline.py).
+    Both expose the same surface (len / set_epoch / iteration, identical batch
+    pytrees) so train loops are loader-agnostic. Sample order and augmentation
+    streams are reproducible per loader but not identical across the two.
+
+    Under ``jax.process_count() > 1`` the loader is automatically sharded by
+    process (pass num_shards/shard_index explicitly to override): each host
+    decodes only its slice of every global batch.
+    """
+    if "num_shards" not in kwargs and jax.process_count() > 1:
+        kwargs["num_shards"] = jax.process_count()
+        kwargs["shard_index"] = jax.process_index()
+    if kind == "grain":
+        from change3d_tpu.data.grain_pipeline import GrainDataLoader
+
+        return GrainDataLoader(dataset, batch_size, **kwargs)
+    if kind != "threaded":
+        raise ValueError(f"unknown loader kind: {kind!r} (expected 'threaded' or 'grain')")
+    return DataLoader(dataset, batch_size, **kwargs)
 
 
 def _default_collate(samples: Sequence):

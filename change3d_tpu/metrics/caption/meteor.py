@@ -26,9 +26,12 @@ token ids* to every scorer, METEOR included (ref:
 /root/reference/model/utils.py:517-519) — and this pipeline does the same
 (metrics/caption/score.py). On digit strings the stem/synonym/paraphrase
 stages and the function-word distinction are no-ops for the jar exactly as
-they are here, so for the production protocol the scores are fully
-comparable to the reference's published numbers; the word-level stages above
-matter only when scoring real text.
+they are here, so for the production protocol the scores are comparable to
+the reference's published numbers; the word-level stages above matter only
+when scoring real text. One residual divergence applies even to the digit
+protocol: alignment here is greedy first-match per stage, while the jar
+searches for the max-match/min-chunk alignment — on segments with repeated
+tokens the fragmentation penalty can differ slightly.
 """
 
 from __future__ import annotations
@@ -67,10 +70,17 @@ def _load_native():
     _LIB_TRIED = True
     so = os.path.join(_NATIVE_DIR, "libmeteor.so")
     try:
-        # Always invoke make: it is dependency-tracked and near-free when
+        # Invoke make first: it is dependency-tracked and near-free when
         # up to date, and it prevents a stale (gitignored) .so built from an
         # older meteor.cpp from being loaded silently.
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        except Exception:
+            # No toolchain (or make failed) but a previously built .so may
+            # still be loadable — accept the documented staleness risk over
+            # silently dropping to the slow pure-Python path.
+            if not os.path.exists(so):
+                raise
         lib = ctypes.CDLL(so)
         lib.meteor_sentence.restype = ctypes.c_double
         lib.meteor_sentence.argtypes = [
@@ -126,14 +136,16 @@ def _py_align(hyp: List[str], ref: List[str]) -> Tuple[List[float], ...]:
                     break
 
     wm_h = wm_r = 0.0
-    matches, chunks, prev = 0, 0, -2
+    # A chunk extends only while matched words are adjacent in BOTH sentences
+    # (Meteor 1.5 definition), so track the previous matched hyp index too.
+    matches, chunks, prev, prev_i = 0, 0, -2, -2
     for i in range(nh):
         if h2r[i] < 0:
             continue
         matches += 1
-        if h2r[i] != prev + 1:
+        if h2r[i] != prev + 1 or i != prev_i + 1:
             chunks += 1
-        prev = h2r[i]
+        prev, prev_i = h2r[i], i
         wm_h += stage_w[i] * _word_weight(hyp[i])
         wm_r += stage_w[i] * _word_weight(ref[h2r[i]])
     wlen_h = sum(_word_weight(w) for w in hyp)

@@ -325,6 +325,12 @@ def beam_search_decode(
             tokens, scores, alive, n_live, best_tokens, best_scores = carry
             logits = apply_fn(variables, tokens, mem)  # [B*k, L, V]
             logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
+        # Clamp underflowed log-probs: a legitimate live candidate whose
+        # fp32 log_softmax rounds to -inf must stay distinguishable from the
+        # dead-slot sentinel (neg_inf) or the `kept` filter below would drop
+        # it even when it is the only continuation. -1e6 per step keeps the
+        # worst-case cumulative score (52 steps) far above neg_inf/2.
+        logp = jnp.maximum(logp, jnp.float32(-1e6))
         v = logp.shape[-1]
         # Dead slots (retired or never populated) produce no candidates.
         cand = jnp.where(alive[:, None], scores[:, None] + logp, neg_inf)

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
 from change3d_tpu.data.datasets import CaptionDataset
-from change3d_tpu.data.pipeline import DataLoader, caption_collate, device_prefetch
+from change3d_tpu.data.pipeline import (
+    DataLoader,
+    caption_collate,
+    device_prefetch,
+    make_data_loader,
+)
 from change3d_tpu.models.caption_decoder import MAX_CAPTION_LEN, beam_search_decode
 from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.parallel.mesh import (
@@ -81,6 +86,8 @@ class CaptionRunConfig:
     resume: bool = False
     eval_split: str = "TEST"
     fine_tune_encoder: bool = True  # ref: train_CC.py:645 (False freezes the encoder)
+    compute_dtype: str = "float32"  # 'bfloat16' -> bf16 activations in the train step
+    loader: str = "threaded"  # or 'grain'
 
 
 def load_word_map(cfg: CaptionRunConfig) -> Dict[str, int]:
@@ -159,11 +166,17 @@ def evaluate_captions(
     word_map: Dict[str, int],
     beam_size: int = 1,
     save_dir: Optional[str] = None,
+    decode_fn=None,
 ) -> Dict[str, float]:
-    """Batched beam-search eval + caption metric suite + change/no-change split."""
+    """Batched beam-search eval + caption metric suite + change/no-change split.
+
+    Pass ``decode_fn`` (one ``make_decode_fn`` result per run) when calling
+    every epoch — building it here would re-trace the 52-step beam scan each
+    call (the persistent XLA cache hides compile time, not tracing time).
+    """
     rev = {v: k for k, v in word_map.items()}
     special = {word_map["<start>"], word_map["<end>"], word_map.get("<pad>", 0)}
-    decode = make_decode_fn(model, beam_size, word_map)
+    decode = decode_fn or make_decode_fn(model, beam_size, word_map)
 
     references: List[List[List[int]]] = []
     hypotheses: List[List[int]] = []
@@ -242,7 +255,11 @@ def run_caption_training(args) -> Dict[str, float]:
         pretrained=args.pretrained,
         resume=args.resume,
         fine_tune_encoder=getattr(args, "fine_tune_encoder", True),
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
+        loader=getattr(args, "loader", "threaded"),
     )
+    if getattr(args, "eval_batch_size", None):
+        cfg = dataclasses.replace(cfg, eval_batch_size=args.eval_batch_size)
     word_map = load_word_map(cfg)
     vocab_size = len(word_map)
     mesh = make_mesh()
@@ -255,16 +272,19 @@ def run_caption_training(args) -> Dict[str, float]:
             cfg = dataclasses.replace(cfg, **{f: rounded})
 
     save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_cc_lr_{cfg.lr}")
-    logger = setup_logger(save_path, dataclasses.asdict(cfg))
+    with setup_logger(save_path, dataclasses.asdict(cfg)) as logger:
+        return _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh)
 
+
+def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     train_data = CaptionDataset(cfg.file_root, cfg.dataset, "TRAIN")
     eval_data = _EveryFifth(CaptionDataset(cfg.file_root, cfg.dataset, cfg.eval_split))
-    train_loader = DataLoader(
-        train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
+    train_loader = make_data_loader(
+        cfg.loader, train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers, collate=caption_collate, drop_last=True,
     )
-    eval_loader = DataLoader(
-        eval_data, cfg.eval_batch_size, shuffle=False,
+    eval_loader = make_data_loader(
+        cfg.loader, eval_data, cfg.eval_batch_size, shuffle=False,
         num_workers=cfg.num_workers, collate=caption_collate, pad_final=True,
     )
 
@@ -311,7 +331,11 @@ def run_caption_training(args) -> Dict[str, float]:
         start_epoch = step // steps_per_epoch
         state = jax.device_put(state, rsh)
 
-    train_step = make_train_step(model, tx)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    train_step = make_train_step(model, tx, compute_dtype=compute_dtype)
+    # One decode fn per run: rebuilding it per epoch would re-trace the
+    # 52-step beam scan every evaluation.
+    decode_fn = make_decode_fn(model, cfg.beam_size, word_map)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     best_bleu4 = -1.0
     results: Dict[str, float] = {}
@@ -320,7 +344,7 @@ def run_caption_training(args) -> Dict[str, float]:
         train_loader.set_epoch(epoch)
         t0 = time.time()
         losses, top1s = [], []
-        last_metrics, last_sampled = None, -1
+        last_metrics, last_sampled, last_i = None, -1, -1
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             batch.pop("all_captions", None)
             state, last_metrics = train_step(state, batch, rng)
@@ -340,7 +364,8 @@ def run_caption_training(args) -> Dict[str, float]:
         )
 
         scores = evaluate_captions(
-            model, state.variables, eval_loader, word_map, cfg.beam_size, save_dir=save_path
+            model, state.variables, eval_loader, word_map, cfg.beam_size,
+            save_dir=save_path, decode_fn=decode_fn,
         )
         logger.log_epoch(epoch, scores)
         ckpt.save(int(jax.device_get(state.step)), state, metrics={"Bleu_4": scores["Bleu_4"]})
@@ -360,8 +385,8 @@ def run_caption_training(args) -> Dict[str, float]:
         print(f"best-model evaluation skipped (no best checkpoint): {e}")
     if best_vars is not None:
         results = evaluate_captions(
-            model, best_vars, eval_loader, word_map, cfg.beam_size, save_dir=save_path
+            model, best_vars, eval_loader, word_map, cfg.beam_size,
+            save_dir=save_path, decode_fn=decode_fn,
         )
         logger.log_epoch(-1, results, split="test_best")
-    logger.close()
     return results

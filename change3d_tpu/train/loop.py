@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
 from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
-from change3d_tpu.data.pipeline import DataLoader, pair_collate, device_prefetch
+from change3d_tpu.data.pipeline import make_data_loader, pair_collate, device_prefetch
 from change3d_tpu.data.transforms import make_transform_pipelines
 from change3d_tpu.metrics.confusion import BinaryChangeMeter, SCDMeter, BDAMeter
 from change3d_tpu.models.trainer import Change3D, Task
@@ -60,6 +60,9 @@ class RunConfig:
     num_workers: int = 4
     seed: int = 16
     log_name: str = "train_val_log"
+    # 'threaded' (default) or 'grain' (process-pool workers; see
+    # data/grain_pipeline.py).
+    loader: str = "threaded"
     compute_dtype: str = "float32"
     # jax.checkpoint over block pairs. Default ON: the batch-16 256^2 train
     # step needs 22.7 GB of activations without it — over a 16 GB v5e's HBM.
@@ -144,7 +147,14 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
         cfg = dataclasses.replace(cfg, batch_size=batch_size)
 
     save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_iter_{cfg.max_steps}_lr_{cfg.lr}")
-    logger = setup_logger(save_path, dataclasses.asdict(cfg), cfg.log_name)
+    with setup_logger(save_path, dataclasses.asdict(cfg), cfg.log_name) as logger:
+        return _run_detection(cfg, logger, save_path)
+
+
+def _run_detection(cfg: RunConfig, logger, save_path: str) -> Dict[str, Any]:
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
 
     train_tf, eval_tf = make_transform_pipelines(cfg.task, cfg.in_width, cfg.in_height)
     ds_cls = _DATASETS[cfg.task]
@@ -154,15 +164,15 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     # ref: /root/reference/scripts/train_BDA.py:305-308).
     train_data = ds_cls(cfg.file_root, "train", train_tf)
     test_data = ds_cls(cfg.file_root, "test", eval_tf)
-    train_loader = DataLoader(
-        train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
+    train_loader = make_data_loader(
+        cfg.loader, train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
     )
-    test_loader = DataLoader(
-        test_data, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
+    test_loader = make_data_loader(
+        cfg.loader, test_data, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
         collate=pair_collate, pad_final=True,
     )
-    max_batches = len(train_loader)
+    max_batches = max(len(train_loader), 1)
     max_epochs = cfg.max_epochs or int(np.ceil(cfg.max_steps / max_batches))
 
     model = build_model(cfg)
@@ -209,14 +219,14 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
             losses.append(float(metrics.pop("loss")))
             _update_meter(cfg.task, meter, metrics)
         scores = meter.scores()
-        scores["loss"] = float(np.mean(losses))
+        scores["loss"] = float(np.mean(losses)) if losses else float("nan")
         return scores
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        last_metrics, last_sampled = None, -1
+        last_metrics, last_sampled, last_i = None, -1, -1
         losses = []
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             state, last_metrics = train_step(state, batch, step_rng)
@@ -226,7 +236,8 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
             last_i = i
         if last_metrics is not None and last_i != last_sampled:
             losses.append(float(jax.device_get(last_metrics["loss"])))
-        print(f"[epoch {epoch}] train loss {np.mean(losses):.4f} ({time.time() - t0:.1f}s)")
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        print(f"[epoch {epoch}] train loss {mean_loss:.4f} ({time.time() - t0:.1f}s)")
 
         if epoch == 0:
             continue  # reference protocol: skip epoch-0 validation
@@ -251,5 +262,4 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
         final_state = state.replace(params=best_vars["params"], batch_stats=best_vars["batch_stats"])
         results["test_best"] = evaluate(final_state)
         logger.log_epoch(-1, results["test_best"], split="test_best")
-    logger.close()
     return results

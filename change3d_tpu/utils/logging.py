@@ -46,6 +46,15 @@ class MetricLogger:
         self._text.close()
         self._jsonl.close()
 
+    # Context manager: train loops wrap their epoch loop in `with logger:` so
+    # an exception mid-run cannot leak the file handles.
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+        return False
+
 
 def _jsonable(d: Dict[str, Any]) -> Dict[str, Any]:
     out = {}

@@ -278,12 +278,16 @@ Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>&
   Stats s;
   for (size_t i = 0; i < nh; i++) s.wlen_hyp += word_weight(hyp[i], delta);
   for (size_t j = 0; j < nr; j++) s.wlen_ref += word_weight(ref[j], delta);
+  // A chunk extends only while matched words are adjacent in BOTH sentences
+  // (Meteor 1.5 definition), so track the previous matched hyp index too.
   int prev_ref = -2;
+  long prev_hyp = -2;
   for (size_t i = 0; i < nh; i++) {
     if (hyp_to_ref[i] < 0) continue;
     s.matches++;
-    if (hyp_to_ref[i] != prev_ref + 1) s.chunks++;
+    if (hyp_to_ref[i] != prev_ref + 1 || static_cast<long>(i) != prev_hyp + 1) s.chunks++;
     prev_ref = hyp_to_ref[i];
+    prev_hyp = static_cast<long>(i);
     s.wm_hyp += stage_w[i] * word_weight(hyp[i], delta);
     s.wm_ref += stage_w[i] * word_weight(ref[hyp_to_ref[i]], delta);
   }

@@ -88,3 +88,37 @@ def test_caption_train_and_beam_eval(caption_root):
         for k in ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "change_acc", "nochange_acc"):
             assert k in scores, k
             assert np.isfinite(scores[k])
+
+
+def test_cc_bf16_compute_dtype_changes_activations_and_trains(caption_root):
+    # --compute_dtype bfloat16 must actually reach the CC forward: the encoder
+    # memory comes out bf16, the train step stays finite and tracks the fp32
+    # loss to bf16 rounding. (Round-2 gap: the CC path silently ignored it.)
+    import jax.numpy as jnp
+
+    from change3d_tpu.train.engine import _forward
+
+    model = Change3D(
+        task=Task.CC, vocab_size=len(VOCAB), embed_dim=32, num_heads=4,
+        num_layers=2, backbone_cfg=TINY_CFG, in_height=32, in_width=32,
+    )
+    train_data = CaptionDataset(caption_root, "DS", "TRAIN")
+    loader = DataLoader(train_data, 4, shuffle=True, num_workers=1,
+                        collate=caption_collate, drop_last=True)
+    batch = next(iter(loader))
+    tx = torch_adam(shrink_schedule(1e-3, 5), weight_decay=1e-5, grad_clip_value=5.0)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    out = _forward(model, state.variables, batch, train=False, compute_dtype=jnp.bfloat16)
+    assert out["memory"].dtype == jnp.bfloat16
+    out32 = _forward(model, state.variables, batch, train=False)
+    assert out32["memory"].dtype == jnp.float32
+
+    step16 = make_train_step(model, tx, donate=False, compute_dtype=jnp.bfloat16)
+    step32 = make_train_step(model, tx, donate=False)
+    _, m16 = step16(state, batch, jax.random.PRNGKey(1))
+    _, m32 = step32(state, batch, jax.random.PRNGKey(1))
+    l16, l32 = float(m16["loss"]), float(m32["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.05  # same loss to bf16 rounding
+    assert l16 != l32  # but genuinely a different numeric path

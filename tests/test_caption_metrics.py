@@ -187,6 +187,18 @@ def test_meteor_token_id_protocol_matches_reference():
     np.testing.assert_allclose(got, expected, rtol=1e-9)
 
 
+def test_meteor_chunks_require_adjacency_in_both_sentences():
+    # ref 'a b' / hyp 'a x b': the matches are adjacent in the reference but
+    # separated by an unmatched hyp token — Meteor counts TWO chunks (the
+    # chunk must be contiguous in both sentences).
+    from change3d_tpu.metrics.caption import meteor as m
+
+    stats = m._py_segment_stats(["5 6"], "5 9 6")
+    assert stats[4] == 2 and stats[5] == 2  # matches=2, chunks=2
+    if m._load_native() is not None:
+        np.testing.assert_allclose(m.segment_stats(["5 6"], "5 9 6"), stats, rtol=1e-12)
+
+
 def test_eval_caption_scores_keys():
     refs, hyps = _corpus()
     scores = eval_caption_scores(refs, hyps)

@@ -54,6 +54,67 @@ print(f"proc {jax.process_index()} primary={is_primary()} ok", flush=True)
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+sys.path.insert(0, "@REPO@")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from change3d_tpu.parallel.distributed import initialize
+
+initialize(
+    coordinator_address="@ADDR@",
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+from tests._tiny_bcd import first_batch_loss
+
+loss = first_batch_loss("@ROOT@", global_batch=8)
+print(f"proc {jax.process_index()} loss={loss:.8f}", flush=True)
+"""
+
+
+def test_two_process_bcd_train_step_matches_single_process(tmp_path):
+    """End-to-end multi-host training data path: two processes, each decoding
+    only its half of every global batch, run one real BCD train step over the
+    2-host mesh; the loss must equal a single-process run on the same global
+    batch (identical samples + GSPMD cross-host batch-stat/grad reductions)."""
+    import re
+
+    from tests._tiny_bcd import first_batch_loss, write_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "ds")
+    write_dataset(root)
+
+    # Reference: single process, this (8-virtual-device) mesh, unsharded loader.
+    ref_loss = first_batch_loss(root, global_batch=8)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    code = (
+        _TRAIN_WORKER.replace("@REPO@", repo).replace("@ADDR@", addr).replace("@ROOT@", root)
+    )
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    losses = [float(re.search(r"loss=([\d.]+)", out).group(1)) for out in outs]
+    assert losses[0] == losses[1]
+    assert abs(losses[0] - ref_loss) < 1e-5 * max(abs(ref_loss), 1.0), (losses, ref_loss)
+
+
 def test_two_process_distributed_init_and_mesh(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
