@@ -39,7 +39,16 @@ def main():
 
     from change3d_tpu.models.x3d import x3d_l_config
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # Production eval config (round 3, this chip): batch 128, packed stage 1.
+    # Measured ladder (pairs/s): b64 none 430, b64 packed 481, b64
+    # packed+fused 493, b96 packed+fused 583, b128 packed+fused 664,
+    # b128 packed 673 (x2 runs), b256 packed+fused 664 (saturated). The fused
+    # stage-3 kernel wins at b64 but loses ~1.4% at b128 where XLA pipelines
+    # the larger batch better, so production is packed-only at b128.
+    # Round-2's 464.85 record was relay congestion — four round-3 re-runs of
+    # the same b64-packed config measured 481.5/480.9/481.0/481.2 (+-0.3).
+    # tests/manual_bench_floor.py guards the committed floor.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     # Time-packed stage 1 (ops/packed.py), equality-tested against the
     # standard path. Measured on this chip (round 2): none 430, (0,) 481,
     # (-1,0) 455, (-1,0,1) 405 pairs/s — the stem's dense banded temporal
@@ -53,6 +62,10 @@ def main():
             () if sys.argv[2] == "none"
             else tuple(int(s) for s in sys.argv[2].split(","))
         )
+    # Fused stage-3 Pallas blocks (ops/pallas/fused_block.py), equality-tested
+    # and TPU-measured since round 3 (the round-2 Mosaic blocker was a 1-D dot
+    # lowering bug, worked around in the SE kernel). +2.5% at b64, -1.4% at
+    # the production b128 — off by default; argv[3] "fused" A/Bs it.
     fused = len(sys.argv) > 3 and sys.argv[3] == "fused"
     backbone = dataclasses.replace(
         x3d_l_config(), packed_eval_stages=stages, fused_inference=fused

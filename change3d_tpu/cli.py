@@ -51,6 +51,12 @@ def _common_flags(p: argparse.ArgumentParser):
         help="time-packed stage-1 execution (+10%% eval, +5%% train on v5e; "
         "fp32 reduction-order-level numeric difference)",
     )
+    p.add_argument(
+        "--fused", action="store_true",
+        help="fused Pallas bottleneck blocks for eval/validation forwards "
+        "(stage 3 at 256^2; +2.5%% eval on v5e at batch 64, slightly negative "
+        "at batch 128; bf16-rounding-level numeric difference)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -314,6 +320,7 @@ def main(argv=None):
             compute_dtype=args.compute_dtype,
             remat=args.remat,
             packed=args.packed,
+            fused=args.fused,
             loader=args.loader,
         )
         return run_detection_training(cfg)

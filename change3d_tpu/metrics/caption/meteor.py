@@ -16,10 +16,15 @@ Scoring follows Meteor 1.5 (Denkowski & Lavie 2014) for English:
   (ref: /root/reference/eval_func/meteor/meteor.py:33-56) — not a mean of
   sentence scores.
 
-Documented divergences from meteor-1.5.jar: the synonym (WordNet) and
-paraphrase (paraphrase-en.gz) matcher stages are absent (those tables are
-missing blobs in the reference repo itself), and the function-word list is a
-built-in common-English list rather than the jar's corpus-frequency list.
+Documented divergences from meteor-1.5.jar: the synonym (WordNet) stage is
+absent, and the function-word list is a built-in common-English list rather
+than the jar's corpus-frequency list. The paraphrase stage IS implemented
+(round 3) behind an optional table: pass ``paraphrase_table=<path>`` (plain
+text or .gz, lines ``phrase1 ||| phrase2`` or the jar's
+``prob ||| phrase1 ||| phrase2``) to ``corpus_meteor``/``segment_stats`` and
+unmatched multi-word spans are phrase-matched at module weight 0.6 after the
+exact and stem stages, greedily, longest-span-first — so when a real
+``paraphrase-en.gz`` appears the scorer consumes it directly.
 
 IMPORTANT comparability note: the reference's caption eval feeds *stringified
 token ids* to every scorer, METEOR included (ref:
@@ -44,6 +49,8 @@ from typing import List, Sequence, Tuple
 # Meteor 1.5 English parameters (task 'rank'): alpha, beta, gamma, delta.
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
 W_STEM = 0.6  # stem-stage module weight (exact stage is 1.0)
+W_PARAPHRASE = 0.6  # paraphrase-stage module weight (Meteor 1.5 English)
+MAX_PHRASE_LEN = 6  # longest span considered by the paraphrase matcher
 
 FUNCTION_WORDS = frozenset(
     """a an the and or but nor so yet of in on at to from by with about as into
@@ -93,6 +100,11 @@ def _load_native():
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ]
+        try:  # absent only in a stale pre-round-3 .so
+            lib.meteor_set_paraphrase_table.restype = ctypes.c_int
+            lib.meteor_set_paraphrase_table.argtypes = [ctypes.c_char_p]
+        except AttributeError:
+            pass
         _LIB = lib
     except Exception:
         _LIB = None
@@ -108,9 +120,49 @@ def _word_weight(w: str) -> float:
     return (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
 
 
-def _py_align(hyp: List[str], ref: List[str]) -> Tuple[List[float], ...]:
+_PARAPHRASE_CACHE: dict = {}
+
+
+def load_paraphrase_table(path: str):
+    """Load a paraphrase table (memoized by path). Accepts plain text or
+    .gz with ``phrase1 ||| phrase2`` or the jar's paraphrase-en.gz format
+    ``prob ||| phrase1 ||| phrase2``. The mapping is made symmetric."""
+    if path in _PARAPHRASE_CACHE:
+        return _PARAPHRASE_CACHE[path]
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    table: dict = {}
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = [p.strip().lower() for p in line.split("|||")]
+            if len(parts) == 2:
+                a, b = parts
+            elif len(parts) == 3:
+                a, b = parts[1], parts[2]
+            else:
+                continue
+            if not a or not b or a == b:
+                continue
+            # Lists, not sets: candidate order is file order, so the greedy
+            # matcher is deterministic and bit-identical to the C++ core.
+            for src, dst in ((a, b), (b, a)):
+                cands = table.setdefault(src, [])
+                if dst not in cands:
+                    cands.append(dst)
+    _PARAPHRASE_CACHE[path] = table
+    return table
+
+
+def _py_align(hyp: List[str], ref: List[str], table=None) -> Tuple[float, ...]:
     """Greedy stage-wise alignment. Returns (wm_h, wm_r, wlen_h, wlen_r,
-    matches, chunks) sufficient statistics."""
+    matches, chunks) sufficient statistics.
+
+    Stages: exact (w=1.0), Porter-stem (w=0.6), then — when a paraphrase
+    ``table`` is given — greedy longest-span-first phrase matching at
+    w=0.6 over still-unmatched words. ``matches`` is the Meteor average
+    (m_hyp + m_ref)/2 (a float once phrase matches of unequal span length
+    exist; integral and identical to the old count without them)."""
     try:
         from nltk.stem.porter import PorterStemmer  # pragma: no cover
 
@@ -135,19 +187,56 @@ def _py_align(hyp: List[str], ref: List[str]) -> Tuple[List[float], ...]:
                     used[j] = True
                     break
 
+    # Match records (hyp_start, hyp_len, ref_start, ref_len, weight); word
+    # stage matches are 1-1 records.
+    records = [(i, 1, h2r[i], 1, stage_w[i]) for i in range(nh) if h2r[i] >= 0]
+
+    if table:
+        h_used = [h2r[i] >= 0 for i in range(nh)]
+        i = 0
+        while i < nh:
+            matched_len = 0
+            for lh in range(min(MAX_PHRASE_LEN, nh - i), 0, -1):
+                if any(h_used[i : i + lh]):
+                    continue
+                targets = table.get(" ".join(hyp[i : i + lh]))
+                if not targets:
+                    continue
+                hit = None
+                for tgt in targets:
+                    tw = tgt.split()
+                    lr = len(tw)
+                    for j in range(nr - lr + 1):
+                        if ref[j : j + lr] == tw and not any(used[j : j + lr]):
+                            hit = (j, lr)
+                            break
+                    if hit:
+                        break
+                if hit:
+                    j, lr = hit
+                    for k in range(i, i + lh):
+                        h_used[k] = True
+                    for k in range(j, j + lr):
+                        used[k] = True
+                    records.append((i, lh, j, lr, W_PARAPHRASE))
+                    matched_len = lh
+                    break
+            i += matched_len or 1
+
+    records.sort()
     wm_h = wm_r = 0.0
-    # A chunk extends only while matched words are adjacent in BOTH sentences
-    # (Meteor 1.5 definition), so track the previous matched hyp index too.
-    matches, chunks, prev, prev_i = 0, 0, -2, -2
-    for i in range(nh):
-        if h2r[i] < 0:
-            continue
-        matches += 1
-        if h2r[i] != prev + 1 or i != prev_i + 1:
+    matches = 0.0
+    chunks = 0
+    # A chunk extends only while match blocks are adjacent in BOTH sentences
+    # (Meteor 1.5 definition).
+    prev_hend, prev_rend = -1, -1
+    for hi, lh, ri, lr, w in records:
+        matches += (lh + lr) / 2.0
+        if hi != prev_hend or ri != prev_rend:
             chunks += 1
-        prev, prev_i = h2r[i], i
-        wm_h += stage_w[i] * _word_weight(hyp[i])
-        wm_r += stage_w[i] * _word_weight(ref[h2r[i]])
+        prev_hend, prev_rend = hi + lh, ri + lr
+        wm_h += w * sum(_word_weight(x) for x in hyp[hi : hi + lh])
+        wm_r += w * sum(_word_weight(x) for x in ref[ri : ri + lr])
     wlen_h = sum(_word_weight(w) for w in hyp)
     wlen_r = sum(_word_weight(w) for w in ref)
     return wm_h, wm_r, wlen_h, wlen_r, matches, chunks
@@ -174,41 +263,84 @@ def score_from_stats(
     return (1 - penalty) * fmean
 
 
-def _py_segment_stats(refs: Sequence[str], hyp: str):
+def _py_segment_stats(refs: Sequence[str], hyp: str, table=None):
     best, best_score = None, -1.0
     for ref in refs:
-        stats = _py_align(hyp.lower().split(), ref.lower().split())
+        stats = _py_align(hyp.lower().split(), ref.lower().split(), table)
         score = score_from_stats(*stats)
         if score > best_score:
             best, best_score = stats, score
     return best or (0.0, 0.0, 0.0, 0.0, 0, 0)
 
 
-def segment_stats(refs: Sequence[str], hyp: str) -> Tuple[float, ...]:
+_NATIVE_TABLE_PATH = None
+
+
+def _native_set_table(lib, paraphrase_table: str | None) -> bool:
+    """Point the native scorer at the paraphrase table (idempotent). .gz
+    tables are decompressed to a temp file once (the C++ reader is plain
+    text). Returns False if the native side cannot take the table."""
+    global _NATIVE_TABLE_PATH
+    if not hasattr(lib, "meteor_set_paraphrase_table"):
+        return paraphrase_table is None
+    if paraphrase_table == _NATIVE_TABLE_PATH:
+        return True
+    path = paraphrase_table
+    if path is not None and path.endswith(".gz"):
+        import gzip
+        import tempfile
+
+        with gzip.open(path, "rt", encoding="utf-8", errors="replace") as f:
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".meteor-paraphrases.txt", delete=False
+            )
+            with tmp:
+                for line in f:
+                    tmp.write(line)
+        path = tmp.name
+    n = lib.meteor_set_paraphrase_table(path.encode() if path is not None else None)
+    if path is not None and n < 0:
+        return False
+    _NATIVE_TABLE_PATH = paraphrase_table
+    return True
+
+
+def segment_stats(
+    refs: Sequence[str], hyp: str, paraphrase_table: str | None = None
+) -> Tuple[float, ...]:
     """Best-reference sufficient statistics (wm_h, wm_r, wlen_h, wlen_r,
-    matches, chunks) for one segment."""
+    matches, chunks) for one segment. ``paraphrase_table`` enables the
+    phrase-matching stage (see module docstring)."""
     lib = _load_native()
-    if lib is not None:
+    if lib is not None and _native_set_table(lib, paraphrase_table):
         out = (ctypes.c_double * 7)()
         lib.meteor_segment_stats(
             hyp.encode(), "\n".join(refs).encode(),
             ALPHA, BETA, GAMMA, DELTA, W_STEM, out,
         )
         return tuple(out[:6])
-    return tuple(_py_segment_stats(refs, hyp))
+    table = load_paraphrase_table(paraphrase_table) if paraphrase_table else None
+    return tuple(_py_segment_stats(refs, hyp, table))
 
 
-def sentence_meteor(refs: Sequence[str], hyp: str) -> float:
+def sentence_meteor(
+    refs: Sequence[str], hyp: str, paraphrase_table: str | None = None
+) -> float:
     """Best single-reference Meteor 1.5 score for one hypothesis."""
-    lib = _load_native()
-    if lib is not None:
-        return float(
-            lib.meteor_sentence(hyp.encode(), "\n".join(refs).encode(), ALPHA, BETA, GAMMA)
-        )
-    return score_from_stats(*_py_segment_stats(refs, hyp))
+    if paraphrase_table is None:
+        lib = _load_native()
+        if lib is not None and _native_set_table(lib, None):
+            return float(
+                lib.meteor_sentence(hyp.encode(), "\n".join(refs).encode(), ALPHA, BETA, GAMMA)
+            )
+    return score_from_stats(*segment_stats(refs, hyp, paraphrase_table))
 
 
-def corpus_meteor(references: List[List[str]], hypotheses: List[str]) -> float:
+def corpus_meteor(
+    references: List[List[str]],
+    hypotheses: List[str],
+    paraphrase_table: str | None = None,
+) -> float:
     """references[i]: list of reference strings; hypotheses[i]: string.
     Corpus score = Meteor formula over segment statistics summed corpus-wide
     (micro-average), matching the jar's final-score aggregation."""
@@ -217,6 +349,6 @@ def corpus_meteor(references: List[List[str]], hypotheses: List[str]) -> float:
         return 0.0
     totals = [0.0] * 6
     for refs, hyp in zip(references, hypotheses):
-        for k, v in enumerate(segment_stats(refs, hyp)):
+        for k, v in enumerate(segment_stats(refs, hyp, paraphrase_table)):
             totals[k] += v
     return score_from_stats(*totals)

@@ -57,10 +57,14 @@ def _kernel(x_ref, wa_ref, aa_ref, ba_ref, wdw_ref, ab_ref, bb_ref,
     xb = acc * ab_ref[:] + bb_ref[:]  # f32 [T,H,W,Ci]
 
     if has_se:
-        s = jnp.mean(xb, axis=(0, 1, 2))  # [Ci]
+        # [1, Ci] not [Ci]: Mosaic's lowering of 1-D x 2-D dots emits an
+        # unparseable tpu.dot_dimension_numbers attribute on this stack
+        # (repro: tests/manual_pallas_repros.py); strict 2-D matmuls lower
+        # fine and are numerically identical.
+        s = jnp.mean(xb, axis=(0, 1, 2))[None]  # [1, Ci]
         g1 = jnp.maximum(jnp.dot(s, wse1_ref[:], preferred_element_type=jnp.float32) + bse1_ref[:], 0.0)
         gate = jax.nn.sigmoid(jnp.dot(g1, wse2_ref[:], preferred_element_type=jnp.float32) + bse2_ref[:])
-        xb = xb * gate
+        xb = xb * gate[0]
 
     xs = (xb * jax.nn.sigmoid(xb)).astype(x.dtype)  # swish
 
@@ -221,6 +225,152 @@ def fused_bottleneck_block_htiled(
         cost_estimate=pl.CostEstimate(
             flops=2 * b_dim * t * h * w * c_inner * (2 * c + 27),
             bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b_dim * t * h * w * c_inner,
+        ),
+        interpret=interpret,
+    )(
+        *front_args,
+        gate,
+        w_c.astype(x.dtype), a_c.astype(jnp.float32), b_c.astype(jnp.float32),
+    )
+
+
+def _jtile_front(xm_ref, x_ref, xp_ref, wa_ref, aa_ref, ba_ref,
+                 wdw_ref, ab_ref, bb_ref):
+    """Shared front half of the neighbor-halo tiled kernel: assemble an
+    H-halo tile from the previous/current/next grid blocks (no manual DMA —
+    the halo rows ride in via clamped BlockSpec index maps), then run
+    conv_a + BN + ReLU and the depthwise 3x3x3 + BN.
+
+    Returns (x_core [T,h,W,Cin], xb [T,h,W,Ci] f32).
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    x_core = x_ref[0]  # [T, h, W, Cin]
+    t_dim, h_tile, w_dim, c_in = x_core.shape
+    # Halo rows: last row of block j-1, first row of block j+1. At the image
+    # edges the clamped index maps alias the current block — wrong rows, but
+    # they are zeroed in xa-space below (the depthwise conv zero-pads AFTER
+    # conv_a/BN/ReLU, which maps zeros to relu(b_a) != 0, so x-space zeroing
+    # would be wrong anyway).
+    x = jnp.concatenate([xm_ref[0][:, -1:], x_core, xp_ref[0][:, :1]], axis=1)
+    hh = h_tile + 2
+    c_inner = wa_ref.shape[1]
+    xa = jnp.dot(x.reshape(t_dim * hh * w_dim, c_in), wa_ref[:], preferred_element_type=jnp.float32)
+    xa = jnp.maximum(xa * aa_ref[:] + ba_ref[:], 0.0).astype(x.dtype)
+    xa = xa.reshape(t_dim, hh, w_dim, c_inner)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hh, 1, 1), 1)
+    halo_oob = ((j == 0) & (row == 0)) | ((j == n_j - 1) & (row == hh - 1))
+    xa = jnp.where(halo_oob, 0.0, xa).astype(x.dtype)
+    xp = jnp.pad(xa, ((1, 1), (0, 0), (1, 1), (0, 0)))  # pad T + W in VMEM
+    acc = jnp.zeros((t_dim, h_tile, w_dim, c_inner), jnp.float32)
+    for dt in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                tap = wdw_ref[dt, dy, dx]
+                acc += xp[dt : dt + t_dim, dy : dy + h_tile, dx : dx + w_dim].astype(jnp.float32) * tap
+    xb = acc * ab_ref[:] + bb_ref[:]
+    return x_core, xb
+
+
+def _kernel_jtiled(xm_ref, x_ref, xp_ref, wa_ref, aa_ref, ba_ref,
+                   wdw_ref, ab_ref, bb_ref, gate_ref, wc_ref, ac_ref, bc_ref,
+                   out_ref, *, has_se: bool):
+    b = pl.program_id(0)
+    x_core, xb = _jtile_front(xm_ref, x_ref, xp_ref, wa_ref, aa_ref, ba_ref,
+                              wdw_ref, ab_ref, bb_ref)
+    t_dim, h_tile, w_dim, c_in = x_core.shape
+    c_inner = xb.shape[-1]
+    if has_se:
+        xb = xb * gate_ref[b]
+    xs = (xb * jax.nn.sigmoid(xb)).astype(x_core.dtype)
+    xc = jnp.dot(xs.reshape(t_dim * h_tile * w_dim, c_inner), wc_ref[:], preferred_element_type=jnp.float32)
+    xc = (xc * ac_ref[:] + bc_ref[:]).reshape(t_dim, h_tile, w_dim, c_in)
+    out_ref[0] = jnp.maximum(xc + x_core.astype(jnp.float32), 0.0).astype(x_core.dtype)
+
+
+def _kernel_jtiled_se_sums(xm_ref, x_ref, xp_ref, wa_ref, aa_ref, ba_ref,
+                           wdw_ref, ab_ref, bb_ref, out_ref):
+    """SE phase 1: per-(batch, tile) sum of xb into an (8, lanes) tile."""
+    _, xb = _jtile_front(xm_ref, x_ref, xp_ref, wa_ref, aa_ref, ba_ref,
+                         wdw_ref, ab_ref, bb_ref)
+    c_inner = xb.shape[-1]
+    s = jnp.sum(xb.reshape(-1, c_inner), axis=0, keepdims=True)  # [1, Ci]
+    lanes = out_ref.shape[-1]
+    s_pad = jnp.pad(s, ((0, 0), (0, lanes - c_inner)))
+    out_ref[0, 0] = jnp.broadcast_to(s_pad, (out_ref.shape[-2], lanes))
+
+
+def fused_bottleneck_block_jtiled(
+    x: jax.Array,
+    w_a: jax.Array, a_a: jax.Array, b_a: jax.Array,
+    w_dw: jax.Array, a_b: jax.Array, b_b: jax.Array,
+    w_c: jax.Array, a_c: jax.Array, b_c: jax.Array,
+    se: Optional[tuple] = None,
+    *,
+    h_tile: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """H-tiled fused block for stages whose inner tensor exceeds VMEM
+    (stage 1/2 at 128^2/64^2) WITHOUT manual DMAs: each grid cell reads its
+    own H tile plus the previous/next tiles through three clamped BlockSpecs
+    and assembles the one-row halos in VMEM. Costs one extra HBM read of x
+    (C_in is the small pre-expansion width) but stays on the automatically
+    pipelined Pallas path, which this environment's compile service accepts
+    (the make_async_copy variant, fused_bottleneck_block_htiled, crashes it —
+    kept for standard TPU stacks).
+
+    SE blocks run two-phase: a partial-sum kernel over the same front half,
+    the tiny gate matmuls in XLA, then the main kernel applies gate_ref.
+    """
+    b_dim, t, h, w, c = x.shape
+    assert h % h_tile == 0 and h // h_tile >= 2, (h, h_tile)
+    c_inner = w_a.shape[1]
+    n_j = h // h_tile
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = (1, t, h_tile, w, c)
+    x_specs = [
+        pl.BlockSpec(tile, lambda b, j: (b, 0, jnp.maximum(j - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tile, lambda b, j: (b, 0, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tile, lambda b, j, n=n_j: (b, 0, jnp.minimum(j + 1, n - 1), 0, 0), memory_space=pltpu.VMEM),
+    ]
+    front_args = (
+        x, x, x,
+        w_a.astype(x.dtype), a_a.astype(jnp.float32), b_a.astype(jnp.float32),
+        w_dw.astype(jnp.float32), a_b.astype(jnp.float32), b_b.astype(jnp.float32),
+    )
+    front_specs = x_specs + [vmem()] * 6
+
+    if se is not None:
+        w1, b1, w2, b2 = se
+        lanes = max(128, -(-c_inner // 128) * 128)
+        sums = pl.pallas_call(
+            _kernel_jtiled_se_sums,
+            grid=(b_dim, n_j),
+            in_specs=front_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, lanes), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_dim, n_j, 8, lanes), jnp.float32),
+            interpret=interpret,
+        )(*front_args)
+        mean = jnp.sum(sums[:, :, 0, :c_inner], axis=1) / (t * h * w)  # [B, Ci]
+        g1 = jnp.maximum(mean @ w1.astype(jnp.float32) + b1.astype(jnp.float32), 0.0)
+        gate = jax.nn.sigmoid(g1 @ w2.astype(jnp.float32) + b2.astype(jnp.float32))
+    else:
+        gate = jnp.ones((b_dim, c_inner), jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_jtiled, has_se=se is not None),
+        grid=(b_dim, n_j),
+        in_specs=front_specs + [vmem(), vmem(), vmem(), vmem()],
+        out_specs=pl.BlockSpec(tile, lambda b, j: (b, 0, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_dim * t * h * w * c_inner * (2 * c + 27),
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
             transcendentals=b_dim * t * h * w * c_inner,
         ),
         interpret=interpret,

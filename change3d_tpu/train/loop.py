@@ -71,6 +71,11 @@ class RunConfig:
     # v5e. Off by default so default runs match the reference layout exactly;
     # numerics differ only at fp32 reduction-order level (equality-tested).
     packed: bool = False
+    # Fused Pallas bottleneck blocks at eval time (stage-3 class blocks whose
+    # inner tensor fits VMEM): measured 481 -> 493 pairs/s on v5e with packed
+    # stage 1. Off by default for reference-exact eval numerics (differences
+    # are bf16-rounding level, equality-tested to atol 2e-2 on bf16).
+    fused: bool = False
     # CC-specific
     vocab_size: int = 0
     embed_dim: int = 192
@@ -91,12 +96,13 @@ def build_model(cfg: RunConfig) -> Change3D:
     from change3d_tpu.models.x3d import x3d_l_config
 
     backbone = None
-    if cfg.remat or cfg.packed:
+    if cfg.remat or cfg.packed or cfg.fused:
         backbone = _dc.replace(
             x3d_l_config(),
             remat=cfg.remat,
             packed_eval_stages=(0,) if cfg.packed else (),
             packed_train=cfg.packed,
+            fused_inference=cfg.fused,
         )
     return Change3D(
         task=Task(cfg.task),

@@ -28,6 +28,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <fstream>
 #include <map>
 #include <set>
 #include <sstream>
@@ -222,15 +223,34 @@ inline double word_weight(const std::string& w, double delta) {
   return function_words().count(w) ? (1.0 - delta) : delta;
 }
 
+// Paraphrase table (optional, meteor_set_paraphrase_table): phrase ->
+// candidate target phrases (tokenized), in file order for determinism.
+std::map<std::string, std::vector<std::vector<std::string>>>& paraphrase_table() {
+  static std::map<std::string, std::vector<std::vector<std::string>>> table;
+  return table;
+}
+bool g_has_paraphrases = false;
+constexpr int kMaxPhraseLen = 6;
+constexpr double kWParaphrase = 0.6;  // Meteor 1.5 English paraphrase weight
+
 // Sufficient statistics of one segment's alignment (Meteor 1.5 MeteorStats).
 struct Stats {
   double wm_hyp = 0.0;   // stage- and delta-weighted matches, hypothesis side
   double wm_ref = 0.0;   // same, reference side
   double wlen_hyp = 0.0; // delta-weighted hypothesis length
   double wlen_ref = 0.0; // delta-weighted reference length
-  int matches = 0;       // raw match count (both sides; unigram stages are 1-1)
+  double matches = 0.0;  // (m_hyp + m_ref)/2 — integral for 1-1 word stages
   int chunks = 0;
   double score = 0.0;    // segment score (used only to pick the best reference)
+};
+
+// One alignment block: hyp span [hi, hi+hl) matched to ref span [ri, ri+rl).
+struct MatchRec {
+  int hi, hl, ri, rl;
+  double w;
+  bool operator<(const MatchRec& o) const {
+    return hi != o.hi ? hi < o.hi : ri < o.ri;
+  }
 };
 
 double score_from(const Stats& s, double alpha, double beta, double gamma) {
@@ -239,7 +259,7 @@ double score_from(const Stats& s, double alpha, double beta, double gamma) {
   double r = s.wm_ref / s.wlen_ref;
   if (p + r == 0.0) return 0.0;
   double fmean = p * r / (alpha * p + (1.0 - alpha) * r);
-  double frag = static_cast<double>(s.chunks) / s.matches;  // m_hyp == m_ref here
+  double frag = static_cast<double>(s.chunks) / s.matches;  // matches = (m_h+m_r)/2
   double penalty = gamma * std::pow(frag, beta);
   return (1.0 - penalty) * fmean;
 }
@@ -275,21 +295,66 @@ Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>&
   run_stage(false, 1.0);
   run_stage(true, w_stem);
 
+  // Match records: word-stage matches are 1-1 blocks.
+  std::vector<MatchRec> records;
+  for (size_t i = 0; i < nh; i++)
+    if (hyp_to_ref[i] >= 0)
+      records.push_back({static_cast<int>(i), 1, hyp_to_ref[i], 1, stage_w[i]});
+
+  // Paraphrase stage: greedy, longest-span-first phrase matching over
+  // still-unmatched words (mirrors the Python matcher exactly; candidate
+  // order is table file order).
+  if (g_has_paraphrases) {
+    const auto& table = paraphrase_table();
+    std::vector<bool> h_used(nh, false);
+    for (size_t i = 0; i < nh; i++) h_used[i] = hyp_to_ref[i] >= 0;
+    size_t i = 0;
+    while (i < nh) {
+      int matched_len = 0;
+      int max_lh = static_cast<int>(std::min<size_t>(kMaxPhraseLen, nh - i));
+      for (int lh = max_lh; lh >= 1 && !matched_len; lh--) {
+        bool any_used = false;
+        for (int k = 0; k < lh; k++) any_used |= h_used[i + k];
+        if (any_used) continue;
+        std::string phrase = hyp[i];
+        for (int k = 1; k < lh; k++) phrase += " " + hyp[i + k];
+        auto it = table.find(phrase);
+        if (it == table.end()) continue;
+        for (const auto& tw : it->second) {
+          int lr = static_cast<int>(tw.size());
+          if (lr == 0 || static_cast<size_t>(lr) > nr) continue;
+          for (size_t j = 0; j + lr <= nr; j++) {
+            bool ok = true;
+            for (int k = 0; k < lr && ok; k++)
+              ok = !ref_used[j + k] && ref[j + k] == tw[k];
+            if (!ok) continue;
+            for (int k = 0; k < lh; k++) h_used[i + k] = true;
+            for (int k = 0; k < lr; k++) ref_used[j + k] = true;
+            records.push_back({static_cast<int>(i), lh, static_cast<int>(j), lr, kWParaphrase});
+            matched_len = lh;
+            break;
+          }
+          if (matched_len) break;
+        }
+      }
+      i += matched_len ? matched_len : 1;
+    }
+  }
+
+  std::sort(records.begin(), records.end());
   Stats s;
   for (size_t i = 0; i < nh; i++) s.wlen_hyp += word_weight(hyp[i], delta);
   for (size_t j = 0; j < nr; j++) s.wlen_ref += word_weight(ref[j], delta);
-  // A chunk extends only while matched words are adjacent in BOTH sentences
-  // (Meteor 1.5 definition), so track the previous matched hyp index too.
-  int prev_ref = -2;
-  long prev_hyp = -2;
-  for (size_t i = 0; i < nh; i++) {
-    if (hyp_to_ref[i] < 0) continue;
-    s.matches++;
-    if (hyp_to_ref[i] != prev_ref + 1 || static_cast<long>(i) != prev_hyp + 1) s.chunks++;
-    prev_ref = hyp_to_ref[i];
-    prev_hyp = static_cast<long>(i);
-    s.wm_hyp += stage_w[i] * word_weight(hyp[i], delta);
-    s.wm_ref += stage_w[i] * word_weight(ref[hyp_to_ref[i]], delta);
+  // A chunk extends only while match blocks are adjacent in BOTH sentences
+  // (Meteor 1.5 definition).
+  int prev_hend = -1, prev_rend = -1;
+  for (const auto& r : records) {
+    s.matches += (r.hl + r.rl) / 2.0;
+    if (r.hi != prev_hend || r.ri != prev_rend) s.chunks++;
+    prev_hend = r.hi + r.hl;
+    prev_rend = r.ri + r.rl;
+    for (int k = 0; k < r.hl; k++) s.wm_hyp += r.w * word_weight(hyp[r.hi + k], delta);
+    for (int k = 0; k < r.rl; k++) s.wm_ref += r.w * word_weight(ref[r.ri + k], delta);
   }
   s.score = score_from(s, alpha, beta, gamma);
   return s;
@@ -318,6 +383,59 @@ Stats best_reference_stats(const char* hypothesis, const char* references_nl,
 }  // namespace
 
 extern "C" {
+
+// Load (or clear, with path == nullptr) the paraphrase table used by the
+// optional phrase-matching stage. Lines: "phrase1 ||| phrase2" or the jar's
+// "prob ||| phrase1 ||| phrase2" (plain text; Python decompresses .gz).
+// Returns the number of table entries, or -1 if the file cannot be read.
+int meteor_set_paraphrase_table(const char* path) {
+  auto& table = paraphrase_table();
+  table.clear();
+  g_has_paraphrases = false;
+  if (path == nullptr) return 0;
+  std::ifstream f(path);
+  if (!f) return -1;
+
+  auto lower_strip = [](std::string s) {
+    size_t a = s.find_first_not_of(" \t\r\n");
+    size_t b = s.find_last_not_of(" \t\r\n");
+    if (a == std::string::npos) return std::string();
+    s = s.substr(a, b - a + 1);
+    for (char& c : s) c = static_cast<char>(::tolower(static_cast<unsigned char>(c)));
+    return s;
+  };
+
+  std::string line;
+  while (std::getline(f, line)) {
+    std::vector<std::string> parts;
+    size_t pos = 0;
+    while (true) {
+      size_t sep = line.find("|||", pos);
+      parts.push_back(line.substr(pos, sep == std::string::npos ? sep : sep - pos));
+      if (sep == std::string::npos) break;
+      pos = sep + 3;
+    }
+    std::string a, b;
+    if (parts.size() == 2) {
+      a = lower_strip(parts[0]);
+      b = lower_strip(parts[1]);
+    } else if (parts.size() == 3) {
+      a = lower_strip(parts[1]);
+      b = lower_strip(parts[2]);
+    } else {
+      continue;
+    }
+    if (a.empty() || b.empty() || a == b) continue;
+    for (auto& [src, dst] : {std::pair(a, b), std::pair(b, a)}) {
+      auto toks = tokenize(dst.c_str());
+      auto& cands = table[src];
+      if (std::find(cands.begin(), cands.end(), toks) == cands.end())
+        cands.push_back(toks);
+    }
+  }
+  g_has_paraphrases = !table.empty();
+  return static_cast<int>(table.size());
+}
 
 // Best score over the (newline-separated) references for one hypothesis.
 double meteor_sentence(const char* hypothesis, const char* references_nl,

@@ -1,0 +1,44 @@
+"""Bench regression guard: run the production eval + train benches and fail
+loudly if throughput drops below the committed floors.
+
+Run on TPU:  python tests/manual_bench_floor.py
+
+Floors are set ~4%% under the pinned round-3 measurements so relay jitter
+(observed +-0.3 pairs/s across four same-config runs) never trips them but a
+real regression (like an accidental config/dtype change) does. Update the
+floors whenever a deliberate perf change re-pins the production numbers —
+with the measurement, in the same commit.
+"""
+
+import json
+import subprocess
+import sys
+
+# (command, metric, floor, pinned round-3 value)
+CHECKS = [
+    ([sys.executable, "bench.py"], "bcd_eval_pairs_per_sec_256", 645.0, 673.3),
+    ([sys.executable, "bench_train.py"], "bcd_train_samples_per_sec_256", 90.0, None),
+]
+
+
+def main() -> int:
+    failures = 0
+    for cmd, metric, floor, pinned in CHECKS:
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"FAIL {metric}: no JSON output\n{out.stdout[-500:]}{out.stderr[-500:]}")
+            failures += 1
+            continue
+        rec = json.loads(line[-1])
+        ok = rec["metric"] == metric and rec["value"] >= floor
+        print(
+            f"{'ok  ' if ok else 'FAIL'} {metric}: {rec['value']} "
+            f"(floor {floor}" + (f", pinned {pinned}" if pinned else "") + ")"
+        )
+        failures += 0 if ok else 1
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--n_test", type=int, default=16)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--device", default=None, choices=[None, "tpu", "cpu"])
+    ap.add_argument(
+        "extra", nargs="*", default=[],
+        help="extra cli.py flags, e.g. --packed --compute_dtype bfloat16",
+    )
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -87,7 +91,7 @@ def main():
         "--max_steps", str(steps),
         "--save_dir", args.save_dir,
         "--num_workers", "2",
-    ])
+    ] + list(args.extra))
     final = results.get("test_best") or results.get("last") or {}
     print(json.dumps({"final_F1": final.get("F1"), "scores": final}, default=float))
     f1 = float(final.get("F1", 0.0))

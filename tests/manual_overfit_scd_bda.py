@@ -103,6 +103,10 @@ def main():
     ap.add_argument("--n_test", type=int, default=16)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_class", type=int, default=None)
+    ap.add_argument(
+        "extra", nargs="*", default=[],
+        help="extra cli.py flags, e.g. --packed --compute_dtype bfloat16",
+    )
     args = ap.parse_args()
 
     root = args.root or f"/tmp/synth_{args.task}"
@@ -124,7 +128,7 @@ def main():
         "--batch_size", str(args.batch_size), "--max_steps", str(steps),
         "--num_class", str(num_class),
         "--save_dir", save_dir, "--num_workers", "2",
-    ])
+    ] + list(args.extra))
     final = results.get("test_best") or results.get("last") or {}
     metric = "IoU_mean" if args.task == "scd" else "overall_f1"
     val = float(final.get(metric, 0.0))

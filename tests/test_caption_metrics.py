@@ -199,6 +199,76 @@ def test_meteor_chunks_require_adjacency_in_both_sentences():
         np.testing.assert_allclose(m.segment_stats(["5 6"], "5 9 6"), stats, rtol=1e-12)
 
 
+@pytest.fixture()
+def paraphrase_table(tmp_path):
+    # Both supported line formats; includes a 2<->1-word pair.
+    table = tmp_path / "paraphrases.txt"
+    table.write_text(
+        "sea front ||| coastline\n"
+        "0.73 ||| houses ||| buildings\n"
+        "appeared ||| showed up\n"
+    )
+    return str(table)
+
+
+def test_meteor_paraphrase_stage_matches_spans(paraphrase_table):
+    from change3d_tpu.metrics.caption import meteor as m
+
+    refs = ["many buildings appeared along the coastline"]
+    hyp = "many houses showed up along the sea front"
+    table = m.load_paraphrase_table(paraphrase_table)
+    without = m._py_align(hyp.split(), refs[0].split())
+    with_tbl = m._py_align(hyp.split(), refs[0].split(), table)
+    # Word stages match only 'many'/'along'/'the'; paraphrases cover the rest:
+    # houses->buildings (1:1), 'showed up'->appeared (2:1),
+    # 'sea front'->coastline (2:1).
+    assert without[4] == 3
+    assert with_tbl[4] == pytest.approx(3 + 1 + 1.5 + 1.5)
+    s_without = m.score_from_stats(*without)
+    s_with = m.score_from_stats(*with_tbl)
+    assert s_with > s_without
+
+    # Corpus API accepts the table path directly (and memoizes the load).
+    score = m.corpus_meteor([refs], [hyp], paraphrase_table=paraphrase_table)
+    assert score == pytest.approx(s_with, rel=1e-12)
+
+
+def test_meteor_paraphrase_native_matches_python(paraphrase_table):
+    from change3d_tpu.metrics.caption import meteor as m
+
+    if m._load_native() is None:
+        pytest.skip("no C++ toolchain")
+    cases = [
+        (["many buildings appeared along the coastline"],
+         "many houses showed up along the sea front"),
+        (["houses on the sea front"], "buildings on the coastline"),
+        (["nothing in common here"], "totally different words"),
+    ]
+    table = m.load_paraphrase_table(paraphrase_table)
+    for refs, hyp in cases:
+        native = m.segment_stats(refs, hyp, paraphrase_table=paraphrase_table)
+        python = m._py_segment_stats(refs, hyp, table)
+        np.testing.assert_allclose(native, python, rtol=1e-9, atol=1e-12)
+    # Clearing the table restores the word-stage-only behaviour.
+    plain = m.segment_stats(cases[0][0], cases[0][1])
+    assert plain[4] == 3
+
+
+def test_meteor_paraphrase_gz_table(tmp_path, paraphrase_table):
+    import gzip
+
+    from change3d_tpu.metrics.caption import meteor as m
+
+    gz = tmp_path / "paraphrases.txt.gz"
+    with open(paraphrase_table, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    refs = [["many buildings appeared along the coastline"]]
+    hyp = ["many houses showed up along the sea front"]
+    assert m.corpus_meteor(refs, hyp, paraphrase_table=str(gz)) == pytest.approx(
+        m.corpus_meteor(refs, hyp, paraphrase_table=paraphrase_table), rel=1e-12
+    )
+
+
 def test_eval_caption_scores_keys():
     refs, hyps = _corpus()
     scores = eval_caption_scores(refs, hyps)
