@@ -47,9 +47,10 @@ def _common_flags(p: argparse.ArgumentParser):
         "exceeds 16GB HBM without it)",
     )
     p.add_argument(
-        "--packed", action="store_true",
+        "--packed", action=argparse.BooleanOptionalAction, default=False,
         help="time-packed stage-1 execution (+10%% eval, +5%% train on v5e; "
-        "fp32 reduction-order-level numeric difference)",
+        "fp32 reduction-order-level numeric difference). Default ON for "
+        "detection tasks (bf16+packed overfit proofs green, BENCH_TRAIN.json)",
     )
     p.add_argument(
         "--fused", action="store_true",
@@ -63,25 +64,30 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("change3d_tpu")
     sub = parser.add_subparsers(dest="task", required=True)
 
+    # Detection defaults: bf16 activations + packed stage 1 (3.48x train
+    # throughput over fp32 unpacked, BENCH_TRAIN.json; fp32
+    # accumulation/statistics; overfit proofs green under both). Opt out
+    # with --compute_dtype float32 / --no-packed.
     bcd = sub.add_parser("bcd", help="binary change detection")
     _common_flags(bcd)
     bcd.add_argument("--dataset", default="LEVIR-CD")
     bcd.add_argument("--num_class", type=int, default=1)
     bcd.add_argument("--max_steps", type=int, default=80_000)
+    bcd.set_defaults(compute_dtype="bfloat16", packed=True)
 
     scd = sub.add_parser("scd", help="semantic change detection")
     _common_flags(scd)
     scd.add_argument("--dataset", default="SECOND")
     scd.add_argument("--num_class", type=int, default=6)
     scd.add_argument("--max_steps", type=int, default=80_000)
-    scd.set_defaults(batch_size=8)
+    scd.set_defaults(batch_size=8, compute_dtype="bfloat16", packed=True)
 
     bda = sub.add_parser("bda", help="building damage assessment")
     _common_flags(bda)
     bda.add_argument("--dataset", default="xBD")
     bda.add_argument("--num_class", type=int, default=5)
     bda.add_argument("--max_steps", type=int, default=200_000)
-    bda.set_defaults(batch_size=12)
+    bda.set_defaults(batch_size=12, compute_dtype="bfloat16", packed=True)
 
     cc = sub.add_parser("cc", help="change captioning")
     _common_flags(cc)
