@@ -43,12 +43,10 @@ class CheckpointManager:
 
     def save_best(self, variables):
         ckptr = ocp.StandardCheckpointer()
-        path = self.best_dir
-        if os.path.exists(path):
-            import shutil
-
-            shutil.rmtree(path)
-        ckptr.save(path, variables)
+        # force=True overwrites atomically through orbax's own coordination —
+        # a manual rmtree would race between processes in multi-host runs
+        # (every process participates in the collective save).
+        ckptr.save(self.best_dir, variables, force=True)
         ckptr.wait_until_finished()
 
     def restore_best(self, template):

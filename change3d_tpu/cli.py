@@ -41,6 +41,16 @@ def _common_flags(p: argparse.ArgumentParser):
         help="input pipeline: 'threaded' (in-process worker threads, default) "
         "or 'grain' (grain.python process-pool workers)",
     )
+    # Multi-host launch (one command per host): jax.distributed init happens
+    # before any JAX usage; loaders then auto-shard the sample index space by
+    # process and shard_batch assembles global arrays (data/pipeline.py).
+    p.add_argument(
+        "--coordinator_address", default=None,
+        help="host:port of process 0 for multi-host training "
+        "(jax.distributed.initialize); single-host runs leave this unset",
+    )
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument(
         "--remat", action=argparse.BooleanOptionalAction, default=True,
         help="rematerialize block pairs (default on: batch-16 256^2 training "
@@ -304,6 +314,14 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "coordinator_address", None) or getattr(args, "num_processes", None):
+        from change3d_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if args.task in ("bcd", "scd", "bda"):
         cfg = RunConfig(
             task=args.task,

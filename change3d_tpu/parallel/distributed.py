@@ -44,6 +44,33 @@ def initialize(
         num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
         process_id=process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0")),
     )
+    if jax.process_count() > 1:
+        # Establish the cross-host collective contexts NOW, while every
+        # process sits at the same program point. Context creation is lazy
+        # (first collective over a given device clique) and has a hard-coded
+        # ~30 s peer timeout — if the first collective instead fires after a
+        # multi-minute cold compile whose duration skews across hosts
+        # (observed with cache-miss recompiles), it dies with "Gloo context
+        # initialization failed ... timed out". Later collectives reuse the
+        # contexts created here. Two cliques matter: the one-device-per-
+        # process allgather (sync/assert_equal paths) and the ALL-devices
+        # all-reduce the data-parallel train step compiles to.
+        import numpy as np
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        multihost_utils.sync_global_devices("change3d_distributed_init")
+        devices = jax.devices()
+        mesh = Mesh(np.asarray(devices), ("warm",))
+        local = jax.local_device_count()
+        garr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, PartitionSpec("warm")),
+            np.ones((local,), np.float32),
+        )
+        total = jax.jit(
+            lambda x: x.sum(), out_shardings=NamedSharding(mesh, PartitionSpec())
+        )(garr)
+        assert float(total) == len(devices)
     initialize._done = True
 
 

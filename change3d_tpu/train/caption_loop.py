@@ -345,6 +345,7 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
         t0 = time.time()
         losses, top1s = [], []
         last_metrics, last_sampled, last_i = None, -1, -1
+        n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             batch.pop("all_captions", None)
             state, last_metrics = train_step(state, batch, rng)
@@ -353,6 +354,13 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
                 losses.append(float(host["loss"]))
                 top1s.append(float(host["top1"]))
                 last_sampled = i
+                if i and n_batches:
+                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                    print(
+                        f"  [epoch {epoch}] iter {i}/{n_batches} "
+                        f"loss {losses[-1]:.4f} top1 {top1s[-1]:.2f} eta {eta:.0f}s",
+                        flush=True,
+                    )
             last_i = i
         if last_metrics is not None and last_i != last_sampled:
             host = jax.device_get(last_metrics)

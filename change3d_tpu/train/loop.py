@@ -234,11 +234,20 @@ def _run_detection(cfg: RunConfig, logger, save_path: str) -> Dict[str, Any]:
         t0 = time.time()
         last_metrics, last_sampled, last_i = None, -1, -1
         losses = []
+        n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             state, last_metrics = train_step(state, batch, step_rng)
             if i % 50 == 0:  # periodic host sync only; keeps the device queue full
                 losses.append(float(jax.device_get(last_metrics["loss"])))
                 last_sampled = i
+                if i and n_batches:  # iteration progress + ETA (ref prints
+                    # every 5 iters; 50 here keeps the device queue full)
+                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                    print(
+                        f"  [epoch {epoch}] iter {i}/{n_batches} "
+                        f"loss {losses[-1]:.4f} eta {eta:.0f}s",
+                        flush=True,
+                    )
             last_i = i
         if last_metrics is not None and last_i != last_sampled:
             losses.append(float(jax.device_get(last_metrics["loss"])))

@@ -67,7 +67,38 @@ def _jsonable(d: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def setup_logger(save_dir: str, config: Optional[Dict[str, Any]] = None, name: str = "train_val_log") -> MetricLogger:
+class NullLogger:
+    """No-op logger for non-primary processes in multi-host runs (all hosts
+    share one save_dir on a common filesystem; only process 0 writes)."""
+
+    def log_config(self, config):
+        pass
+
+    def log_epoch(self, epoch, metrics, split="val"):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        return False
+
+
+def setup_logger(save_dir: str, config: Optional[Dict[str, Any]] = None, name: str = "train_val_log"):
+    try:
+        import jax
+
+        primary = jax.process_index() == 0
+    except Exception:
+        primary = True
+    if not primary:
+        return NullLogger()
     logger = MetricLogger(save_dir, name)
     if config:
         logger.log_config(config)
