@@ -149,17 +149,28 @@ def build_parser() -> argparse.ArgumentParser:
 
     exp = sub.add_parser(
         "export",
-        help="AOT-export a trained detection model to a portable StableHLO "
-        "artifact (weights baked in, symbolic batch; serve with "
-        "change3d_tpu.export.load_exported)",
+        help="AOT-export a trained model to a portable StableHLO artifact "
+        "(weights baked in, symbolic batch; serve with "
+        "change3d_tpu.export.load_exported / load_exported_captioner). For "
+        "cc the artifact contains the full encoder + KV-cached beam decode",
     )
-    exp.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    exp.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
     exp.add_argument("--checkpoint", required=True, help="experiment dir containing best/")
     exp.add_argument("--out", required=True, help="output artifact path")
     exp.add_argument("--num_class", type=int, default=1)
     exp.add_argument("--in_height", type=int, default=256)
     exp.add_argument("--in_width", type=int, default=256)
     exp.add_argument("--platforms", default="cpu,tpu")
+    exp.add_argument("--batch", type=int, default=None,
+                     help="pin the batch dim (default: symbolic, any batch)")
+    # cc-only export flags
+    exp.add_argument("--file_root", default=None, help="(cc) dataset root for the word map")
+    exp.add_argument("--dataset", default="LEVIR_CC_5_cap_per_img_5_min_word_freq")
+    exp.add_argument("--word_map", default=None)
+    exp.add_argument("--beam_size", type=int, default=1)
+    exp.add_argument("--embed_dim", type=int, default=192)
+    exp.add_argument("--n_head", type=int, default=8)
+    exp.add_argument("--n_layer", type=int, default=3)
 
     vc = sub.add_parser(
         "verify-checkpoint",
@@ -207,17 +218,41 @@ def run_verify_checkpoint(args) -> int:
 
 
 def run_export(args):
-    from change3d_tpu.export import export_from_checkpoint
-    from change3d_tpu.train.loop import build_model, RunConfig
+    platforms = tuple(args.platforms.split(","))
+    if args.model_task == "cc":
+        from change3d_tpu.export import export_caption_model
+        from change3d_tpu.inference import restore_best_variables
+        from change3d_tpu.train.caption_loop import (
+            CaptionRunConfig,
+            build_caption_model,
+            load_word_map,
+        )
 
-    cfg = RunConfig(
-        task=args.model_task, num_classes=args.num_class,
-        in_height=args.in_height, in_width=args.in_width,
-    )
-    model = build_model(cfg)
-    blob = export_from_checkpoint(
-        model, args.checkpoint, args.out, platforms=tuple(args.platforms.split(","))
-    )
+        if not (args.file_root or args.word_map):
+            raise SystemExit("cc export needs --word_map (or --file_root to find it)")
+        ccfg = CaptionRunConfig(
+            file_root=args.file_root or "", dataset=args.dataset, word_map=args.word_map,
+            embed_dim=args.embed_dim, n_head=args.n_head, n_layer=args.n_layer,
+            beam_size=args.beam_size,
+        )
+        word_map = load_word_map(ccfg)
+        model = build_caption_model(ccfg, len(word_map), in_size=args.in_height)
+        blob = export_caption_model(
+            model, restore_best_variables(model, args.checkpoint), word_map,
+            args.out, beam_size=args.beam_size, platforms=platforms, batch=args.batch,
+        )
+    else:
+        from change3d_tpu.export import export_from_checkpoint
+        from change3d_tpu.train.loop import build_model, RunConfig
+
+        cfg = RunConfig(
+            task=args.model_task, num_classes=args.num_class,
+            in_height=args.in_height, in_width=args.in_width,
+        )
+        model = build_model(cfg)
+        blob = export_from_checkpoint(
+            model, args.checkpoint, args.out, platforms=platforms, batch=args.batch,
+        )
     print(f"exported {len(blob)} bytes to {args.out}")
 
 

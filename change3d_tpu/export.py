@@ -92,3 +92,58 @@ def export_from_checkpoint(
     from change3d_tpu.inference import restore_best_variables
 
     return export_model(model, restore_best_variables(model, save_path), out_path, **kw)
+
+
+def export_caption_model(
+    model,
+    variables,
+    word_map: dict,
+    path: Optional[str] = None,
+    *,
+    beam_size: int = 1,
+    compute_dtype=jnp.bfloat16,
+    platforms=("cpu", "tpu"),
+    batch: Optional[int] = None,
+) -> bytes:
+    """Export the FULL captioning pipeline — encoder forward + KV-cached
+    beam-search decode — as one StableHLO artifact: ``fn(pre, post) ->
+    (tokens [B, max_len] int32, scores [B] f32)``. Beam width, special
+    tokens, and weights are baked in; the serving process maps ids back to
+    words with its own word map (ids are stable — they ARE the vocabulary).
+    """
+    from change3d_tpu.train.caption_loop import make_decode_fn
+
+    decode = make_decode_fn(model, beam_size, word_map)
+    h, w = model.in_height, model.in_width
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+
+    def fn(pre, post):
+        tokens, scores = decode(
+            variables, pre.astype(compute_dtype), post.astype(compute_dtype)
+        )
+        return tokens.astype(jnp.int32), scores.astype(jnp.float32)
+
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec, spec)
+    blob = exported.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_exported_captioner(path_or_bytes) -> Callable:
+    """Load a caption artifact; returns ``fn(pre, post) -> (tokens, scores)``."""
+    blob = path_or_bytes
+    if isinstance(blob, str):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    exported = jexport.deserialize(blob)
+
+    def fn(pre, post):
+        return exported.call(jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32))
+
+    return fn

@@ -137,12 +137,22 @@ def block_runs_packed(cfg: X3DConfig, i: int, train: bool) -> bool:
     )
 
 
-def x3d_l_config() -> X3DConfig:
-    """The exact instantiation used by Change3D: width_factor=2.0,
-    depth_factor=5.0, bottleneck_factor=2.25, stem stride (1,1,1)."""
-    width_factor, depth_factor, bottleneck_factor = 2.0, 5.0, 2.25
-    stem_dim_in = 12
-    base_depths = [1, 2, 5, 3]
+def x3d_config(
+    width_factor: float = 2.0,
+    depth_factor: float = 2.2,
+    bottleneck_factor: float = 2.25,
+    stem_dim_in: int = 12,
+    base_depths: Tuple[int, ...] = (1, 2, 5, 3),
+    stem_conv_stride: Tuple[int, int, int] = (1, 1, 1),
+    **overrides,
+) -> X3DConfig:
+    """Generic X3D family builder — the TPU-native counterpart of the
+    reference's parameterized ``create_x3d`` (ref:
+    /root/reference/model/x3d.py:543-744): widths derived by doubling the
+    stem width per stage with divisor-8 rounding, depths by ``round_repeats``
+    of the base [1,2,5,3]. ``stem_conv_stride`` defaults to Change3D's
+    (1,1,1) modification; pass (1,2,2) for stock X3D. Extra X3DConfig fields
+    go through ``overrides``."""
     dims, inners, depths = [], [], []
     d = stem_dim_in
     for i in range(4):
@@ -157,7 +167,24 @@ def x3d_l_config() -> X3DConfig:
         stage_dims=tuple(dims),
         stage_inner_dims=tuple(inners),
         stage_depths=tuple(depths),
+        stem_conv_stride=stem_conv_stride,
+        **overrides,
     )
+
+
+def x3d_l_config() -> X3DConfig:
+    """The exact instantiation used by Change3D: width_factor=2.0,
+    depth_factor=5.0, bottleneck_factor=2.25, stem stride (1,1,1)
+    (ref: /root/reference/model/trainer.py:40-43, 6.15 M params)."""
+    return x3d_config(width_factor=2.0, depth_factor=5.0)
+
+
+def x3d_m_config() -> X3DConfig:
+    """X3D-M/S/XS network config (width 2.0, depth 2.2 — the XS/S/M variants
+    share weights and differ only in input resolution/frames; 3.79 M params
+    per the pytorchvideo model zoo). Stock stem stride, since Change3D's
+    stride-1 modification is specific to its L instantiation."""
+    return x3d_config(width_factor=2.0, depth_factor=2.2, stem_conv_stride=(1, 2, 2))
 
 
 class X3DStem(nn.Module):

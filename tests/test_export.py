@@ -54,6 +54,49 @@ def test_export_round_trip(tmp_path, task):
         )
 
 
+def test_export_caption_round_trip(tmp_path):
+    # Full captioning pipeline (encoder + KV-cached beam decode) as one
+    # artifact; served tokens must equal the live decode.
+    from change3d_tpu.export import export_caption_model, load_exported_captioner
+    from change3d_tpu.train.caption_loop import make_decode_fn
+
+    vocab = {"<pad>": 0, "<unk>": 1, "<start>": 2, "<end>": 3}
+    for i, w in enumerate(["a", "road", "appeared", "nothing"]):
+        vocab[w] = 4 + i
+    model = Change3D(
+        task=Task.CC, vocab_size=len(vocab), embed_dim=32, num_heads=2,
+        num_layers=1, backbone_cfg=TINY, in_height=16, in_width=16,
+    )
+    rs = np.random.RandomState(0)
+    pre = rs.randn(2, 16, 16, 3).astype(np.float32)
+    post = rs.randn(2, 16, 16, 3).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pre), jnp.asarray(post),
+        captions=jnp.zeros((2, 4), jnp.int32),
+    )
+
+    path = str(tmp_path / "cc.stablehlo")
+    export_caption_model(
+        model, variables, vocab, path, beam_size=2,
+        compute_dtype=jnp.float32, platforms=("cpu",),
+    )
+    fn = load_exported_captioner(path)
+    tokens, scores = fn(pre, post)
+
+    live_tokens, live_scores = make_decode_fn(model, 2, vocab)(
+        variables, jnp.asarray(pre), jnp.asarray(post)
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(live_tokens))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(live_scores), rtol=1e-5)
+
+    # Symbolic batch: same artifact at another batch size.
+    pre3 = rs.randn(3, 16, 16, 3).astype(np.float32)
+    post3 = rs.randn(3, 16, 16, 3).astype(np.float32)
+    t3, _ = fn(pre3, post3)
+    lt3, _ = make_decode_fn(model, 2, vocab)(variables, jnp.asarray(pre3), jnp.asarray(post3))
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(lt3))
+
+
 def test_export_packed_backbone(tmp_path):
     # The production eval config (packed stage 1) must export identically.
     cfg = dataclasses.replace(TINY, packed_eval_stages=(0,))

@@ -160,3 +160,23 @@ def test_x3d_full_param_count():
     assert count(variables["params"]) == 6_153_384
     backbone = {k: v for k, v in variables["params"].items() if k != "head"}
     assert count(backbone) == 4_365_240
+
+
+def test_x3d_family_builder_m_variant():
+    # The generic builder (x3d_config, ref create_x3d parity) reproduces the
+    # X3D-M/S/XS weight set: 3.79 M params (pytorchvideo model zoo), depths
+    # round_repeats([1,2,5,3], 2.2) = [3,5,11,7], stock (1,2,2) stem stride.
+    from change3d_tpu.models.x3d import x3d_m_config
+
+    cfg = x3d_m_config()
+    assert cfg.stage_depths == (3, 5, 11, 7)
+    assert cfg.stage_dims == (24, 48, 96, 192)
+    assert cfg.stem_conv_stride == (1, 2, 2)
+    model = X3D(cfg)
+    x = jnp.zeros((1, 3, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, classify=True)
+    count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert count == 3_794_274  # 3.79 M
+    # Stock stem stride halves spatial at the stem: 16 -> 8 -> stages /16.
+    y = model.apply(variables, jnp.zeros((1, 3, 16, 16, 3), jnp.float32), train=False)
+    assert y.shape == (1, 3, 1, 1, 192)
