@@ -20,14 +20,25 @@ def _to_tokens(seq: Sequence) -> List[str]:
     return [str(x) for x in seq]
 
 
-def eval_caption_scores(references: List[List[Sequence]], hypotheses: List[Sequence]) -> Dict[str, float]:
+def eval_caption_scores(
+    references: List[List[Sequence]],
+    hypotheses: List[Sequence],
+    *,
+    meteor_paraphrase_table: str | None = None,
+) -> Dict[str, float]:
+    """``meteor_paraphrase_table``: optional paraphrase table path (plain or
+    .gz, jar format) enabling METEOR's phrase-matching stage — only useful
+    when scoring real words; under the reference's stringified-token-id
+    protocol it is a no-op."""
     refs_tok = [[_to_tokens(r) for r in refs] for refs in references]
     hyps_tok = [_to_tokens(h) for h in hypotheses]
     bleu = corpus_bleu(refs_tok, hyps_tok)
     rouge = corpus_rouge_l(refs_tok, hyps_tok)
     cider = corpus_cider_d(refs_tok, hyps_tok)
     meteor = corpus_meteor(
-        [[" ".join(r) for r in refs] for refs in refs_tok], [" ".join(h) for h in hyps_tok]
+        [[" ".join(r) for r in refs] for refs in refs_tok],
+        [" ".join(h) for h in hyps_tok],
+        paraphrase_table=meteor_paraphrase_table,
     )
     return {
         "Bleu_1": bleu[0],

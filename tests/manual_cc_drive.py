@@ -159,6 +159,10 @@ def main():
         help="override lr (the reference schedule halves every 10 epochs — "
         "too fast for a 5-step/epoch memorization corpus)",
     )
+    ap.add_argument(
+        "extra", nargs="*", default=[],
+        help="extra cli.py cc flags, e.g. --compute_dtype bfloat16",
+    )
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.root, "WORDMAP_DS.json")):
@@ -177,6 +181,7 @@ def main():
     ]
     if args.lr is not None:
         argv += ["--lr", str(args.lr)]
+    argv += list(args.extra)
     results = cli_main(argv)
     print("train+eval results:", json.dumps(results, default=float))
 

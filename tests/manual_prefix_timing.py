@@ -24,7 +24,8 @@ enable_compilation_cache()
 from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.models.x3d import block_runs_packed, x3d_l_config
 
-BATCH, N = 64, 10
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N = 10
 backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
 model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
 pre = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 256, 3), jnp.bfloat16)
