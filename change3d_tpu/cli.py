@@ -398,4 +398,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    # Train subcommands return result dicts (ignored); verify-checkpoint
+    # returns an int status that must become the process exit code so
+    # `verify-checkpoint --trace ... && deploy` style gates actually gate.
+    _r = main()
+    _sys.exit(_r if isinstance(_r, int) else 0)

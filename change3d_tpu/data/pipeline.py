@@ -81,6 +81,14 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = shuffle if drop_last is None else drop_last
+        if num_shards > 1 and not (self.drop_last or pad_final):
+            # A short final batch would slice ragged across processes (empty
+            # or unequal local row counts -> collate crash / mismatched
+            # global-array shards); require one of the two shape-stable modes.
+            raise ValueError(
+                "sharded DataLoader needs drop_last=True or pad_final=True "
+                "(a ragged final batch cannot be split across processes)"
+            )
         self.num_workers = max(1, num_workers)
         self.pad_final = pad_final
         self.collate = collate or _default_collate

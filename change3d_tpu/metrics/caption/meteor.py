@@ -274,19 +274,32 @@ def _py_segment_stats(refs: Sequence[str], hyp: str, table=None):
 
 
 _NATIVE_TABLE_PATH = None
+_NATIVE_TMP_PATH = None
+
+
+def _cleanup_native_tmp():
+    global _NATIVE_TMP_PATH
+    if _NATIVE_TMP_PATH is not None:
+        try:
+            os.unlink(_NATIVE_TMP_PATH)
+        except OSError:
+            pass
+        _NATIVE_TMP_PATH = None
 
 
 def _native_set_table(lib, paraphrase_table: str | None) -> bool:
     """Point the native scorer at the paraphrase table (idempotent). .gz
     tables are decompressed to a temp file once (the C++ reader is plain
-    text). Returns False if the native side cannot take the table."""
-    global _NATIVE_TABLE_PATH
+    text; the temp file is removed on table switch and at exit). Returns
+    False if the native side cannot take the table."""
+    global _NATIVE_TABLE_PATH, _NATIVE_TMP_PATH
     if not hasattr(lib, "meteor_set_paraphrase_table"):
         return paraphrase_table is None
     if paraphrase_table == _NATIVE_TABLE_PATH:
         return True
     path = paraphrase_table
     if path is not None and path.endswith(".gz"):
+        import atexit
         import gzip
         import tempfile
 
@@ -297,10 +310,15 @@ def _native_set_table(lib, paraphrase_table: str | None) -> bool:
             with tmp:
                 for line in f:
                     tmp.write(line)
+        _cleanup_native_tmp()  # previous table's decompressed copy
+        _NATIVE_TMP_PATH = tmp.name
+        atexit.register(_cleanup_native_tmp)
         path = tmp.name
     n = lib.meteor_set_paraphrase_table(path.encode() if path is not None else None)
     if path is not None and n < 0:
         return False
+    if paraphrase_table is None or not paraphrase_table.endswith(".gz"):
+        _cleanup_native_tmp()
     _NATIVE_TABLE_PATH = paraphrase_table
     return True
 

@@ -260,6 +260,18 @@ def run_caption_training(args) -> Dict[str, float]:
     )
     if getattr(args, "eval_batch_size", None):
         cfg = dataclasses.replace(cfg, eval_batch_size=args.eval_batch_size)
+    if jax.process_count() > 1:
+        # CC's beam-search evaluation decodes host-local batches; under
+        # process-sharded loaders each host would score only its shard and
+        # the per-process best-Bleu4 gate would diverge — some hosts entering
+        # the collective orbax save and others not (deadlock). Refuse loudly
+        # until a global-array decode path exists; detection tasks fully
+        # support multi-host.
+        raise NotImplementedError(
+            "cc training is single-host for now (beam-search eval is "
+            "host-local); run bcd/scd/bda multi-host or drop "
+            "--coordinator_address/--num_processes for cc"
+        )
     word_map = load_word_map(cfg)
     vocab_size = len(word_map)
     mesh = make_mesh()

@@ -142,8 +142,6 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     trainValidate, ref: /root/reference/scripts/train_BCD.py:240-383)."""
     assert cfg.task in _DATASETS, cfg.task
     mesh = make_mesh()
-    bsh = batch_sharding(mesh)
-    rsh = replicated_sharding(mesh)
     batch_size = multiple_of_devices(cfg.batch_size, mesh)
     if batch_size != cfg.batch_size:
         print(
@@ -154,11 +152,10 @@ def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
 
     save_path = os.path.join(cfg.save_dir, f"{cfg.dataset}_iter_{cfg.max_steps}_lr_{cfg.lr}")
     with setup_logger(save_path, dataclasses.asdict(cfg), cfg.log_name) as logger:
-        return _run_detection(cfg, logger, save_path)
+        return _run_detection(cfg, logger, save_path, mesh)
 
 
-def _run_detection(cfg: RunConfig, logger, save_path: str) -> Dict[str, Any]:
-    mesh = make_mesh()
+def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, Any]:
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
 
@@ -170,12 +167,20 @@ def _run_detection(cfg: RunConfig, logger, save_path: str) -> Dict[str, Any]:
     # ref: /root/reference/scripts/train_BDA.py:305-308).
     train_data = ds_cls(cfg.file_root, "train", train_tf)
     test_data = ds_cls(cfg.file_root, "test", eval_tf)
+    eval_loader_kind = cfg.loader
+    if cfg.loader == "grain" and jax.process_count() > 1:
+        # grain shards the record stream, so the padded-final-batch
+        # global-position bookkeeping eval needs is not expressible there;
+        # keep grain for training (where it shines) and fall back for eval.
+        print("eval loader falls back to 'threaded' (grain cannot pad-final "
+              "shard across processes); training keeps grain")
+        eval_loader_kind = "threaded"
     train_loader = make_data_loader(
         cfg.loader, train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
     )
     test_loader = make_data_loader(
-        cfg.loader, test_data, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
+        eval_loader_kind, test_data, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
         collate=pair_collate, pad_final=True,
     )
     max_batches = max(len(train_loader), 1)

@@ -59,6 +59,16 @@ def test_sharded_loader_rejects_indivisible_batch(bcd_root):  # noqa: F811
         DataLoader(ds, 3, num_shards=2, collate=pair_collate)
 
 
+def test_sharded_loader_rejects_ragged_final_batch_mode(bcd_root):  # noqa: F811
+    # drop_last=False + pad_final=False would slice the short final batch
+    # ragged across processes (empty/unequal local rows) — refused upfront.
+    _, eval_tf = make_transform_pipelines("bcd", 16, 16)
+    ds = BCDDataset(bcd_root, "test", eval_tf)
+    with pytest.raises(ValueError, match="ragged"):
+        DataLoader(ds, 4, num_shards=2, shard_index=0, drop_last=False,
+                   collate=pair_collate)
+
+
 def test_grain_sharded_loader_partitions_records(bcd_root):  # noqa: F811
     pytest.importorskip("grain")
     from change3d_tpu.data.grain_pipeline import GrainDataLoader

@@ -88,6 +88,43 @@ def test_verify_checkpoint_without_trace_reports_stats(synthetic_pyth, capsys):
     assert "no trace given" in out and "strict conversion: OK" in out
 
 
+def test_verify_checkpoint_process_exit_code(synthetic_pyth, tmp_path):
+    # The documented shell gate `python -m change3d_tpu.cli verify-checkpoint
+    # ... && deploy` must see a non-zero exit status on parity FAIL.
+    import os
+    import subprocess
+    import sys
+
+    path, trace = synthetic_pyth
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_state"]
+    sd["blocks.2.res_blocks.0.branch2.conv_b.weight"] = (
+        sd["blocks.2.res_blocks.0.branch2.conv_b.weight"] + 0.05
+    )
+    bad = str(tmp_path / "bad.pyth")
+    torch.save({"model_state": sd}, bad)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # CPU-only subprocess: drop any accelerator-plugin entries from
+    # PYTHONPATH so JAX_PLATFORMS=cpu sticks (a loaded TPU plugin re-asserts
+    # its platform during init).
+    extra = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=repo + (os.pathsep + extra if extra else ""),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "change3d_tpu.cli", "verify-checkpoint",
+         "--pretrained", bad, "--trace", trace,
+         "--height", str(HW), "--width", str(HW)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+
+
 def test_verify_checkpoint_rejects_probe_mismatch(synthetic_pyth):
     path, trace = synthetic_pyth
     with pytest.raises(ValueError, match="probe"):
