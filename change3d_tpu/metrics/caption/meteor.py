@@ -16,15 +16,16 @@ Scoring follows Meteor 1.5 (Denkowski & Lavie 2014) for English:
   (ref: /root/reference/eval_func/meteor/meteor.py:33-56) — not a mean of
   sentence scores.
 
-Documented divergences from meteor-1.5.jar: the synonym (WordNet) stage is
-absent, and the function-word list is a built-in common-English list rather
-than the jar's corpus-frequency list. The paraphrase stage IS implemented
-(round 3) behind an optional table: pass ``paraphrase_table=<path>`` (plain
-text or .gz, lines ``phrase1 ||| phrase2`` or the jar's
-``prob ||| phrase1 ||| phrase2``) to ``corpus_meteor``/``segment_stats`` and
-unmatched multi-word spans are phrase-matched at module weight 0.6 after the
-exact and stem stages, greedily, longest-span-first — so when a real
-``paraphrase-en.gz`` appears the scorer consumes it directly.
+All four Meteor 1.5 matcher stages are implemented (round 3): exact (1.0),
+Porter-stem (0.6), synonym (0.8) and paraphrase (0.6). The synonym and
+paraphrase stages sit behind optional table paths — ``synonym_table=`` /
+``paraphrase_table=`` on ``corpus_meteor``/``segment_stats`` (plain text or
+.gz, lines ``a ||| b`` or the jar's ``prob ||| a ||| b``) — because the
+jar's own data files (WordNet export, paraphrase-en.gz) are missing blobs
+in the reference repo; supply them and the scorer consumes them directly.
+Paraphrases match unmatched multi-word spans greedily, longest-span-first;
+synonyms match 1-1 words. Remaining divergence: the function-word list is a
+built-in common-English list rather than the jar's corpus-frequency list.
 
 IMPORTANT comparability note: the reference's caption eval feeds *stringified
 token ids* to every scorer, METEOR included (ref:
@@ -49,6 +50,7 @@ from typing import List, Sequence, Tuple
 # Meteor 1.5 English parameters (task 'rank'): alpha, beta, gamma, delta.
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
 W_STEM = 0.6  # stem-stage module weight (exact stage is 1.0)
+W_SYNONYM = 0.8  # synonym-stage module weight (Meteor 1.5 English)
 W_PARAPHRASE = 0.6  # paraphrase-stage module weight (Meteor 1.5 English)
 MAX_PHRASE_LEN = 6  # longest span considered by the paraphrase matcher
 
@@ -100,11 +102,12 @@ def _load_native():
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ]
-        try:  # absent only in a stale pre-round-3 .so
-            lib.meteor_set_paraphrase_table.restype = ctypes.c_int
-            lib.meteor_set_paraphrase_table.argtypes = [ctypes.c_char_p]
-        except AttributeError:
-            pass
+        for fn in ("meteor_set_paraphrase_table", "meteor_set_synonym_table"):
+            try:  # absent only in a stale pre-round-3 .so
+                getattr(lib, fn).restype = ctypes.c_int
+                getattr(lib, fn).argtypes = [ctypes.c_char_p]
+            except AttributeError:
+                pass
         _LIB = lib
     except Exception:
         _LIB = None
@@ -154,13 +157,14 @@ def load_paraphrase_table(path: str):
     return table
 
 
-def _py_align(hyp: List[str], ref: List[str], table=None) -> Tuple[float, ...]:
+def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tuple[float, ...]:
     """Greedy stage-wise alignment. Returns (wm_h, wm_r, wlen_h, wlen_r,
     matches, chunks) sufficient statistics.
 
-    Stages: exact (w=1.0), Porter-stem (w=0.6), then — when a paraphrase
-    ``table`` is given — greedy longest-span-first phrase matching at
-    w=0.6 over still-unmatched words. ``matches`` is the Meteor average
+    Stages: exact (w=1.0), Porter-stem (w=0.6), optional synonym word
+    matching at w=0.8 (``syn_table``), then — when a paraphrase ``table``
+    is given — greedy longest-span-first phrase matching at w=0.6 over
+    still-unmatched words. ``matches`` is the Meteor average
     (m_hyp + m_ref)/2 (a float once phrase matches of unequal span length
     exist; integral and identical to the old count without them)."""
     try:
@@ -184,6 +188,21 @@ def _py_align(hyp: List[str], ref: List[str], table=None) -> Tuple[float, ...]:
                 if not used[j] and hk[i] == rk[j]:
                     h2r[i] = j
                     stage_w[i] = w
+                    used[j] = True
+                    break
+
+    if syn_table:
+        # Synonym stage (w=0.8): 1-1 word matches through the synonym table.
+        for i in range(nh):
+            if h2r[i] >= 0:
+                continue
+            cands = syn_table.get(hyp[i])
+            if not cands:
+                continue
+            for j in range(nr):
+                if not used[j] and ref[j] in cands:
+                    h2r[i] = j
+                    stage_w[i] = W_SYNONYM
                     used[j] = True
                     break
 
@@ -263,74 +282,94 @@ def score_from_stats(
     return (1 - penalty) * fmean
 
 
-def _py_segment_stats(refs: Sequence[str], hyp: str, table=None):
+def _py_segment_stats(refs: Sequence[str], hyp: str, table=None, syn_table=None):
     best, best_score = None, -1.0
     for ref in refs:
-        stats = _py_align(hyp.lower().split(), ref.lower().split(), table)
+        stats = _py_align(hyp.lower().split(), ref.lower().split(), table, syn_table)
         score = score_from_stats(*stats)
         if score > best_score:
             best, best_score = stats, score
     return best or (0.0, 0.0, 0.0, 0.0, 0, 0)
 
 
-_NATIVE_TABLE_PATH = None
-_NATIVE_TMP_PATH = None
+class _NativeTable:
+    """Tracks one native table endpoint (paraphrase or synonym): idempotent
+    set, .gz decompression to a managed temp file (removed on switch and at
+    exit — the C++ reader is plain text)."""
+
+    def __init__(self, fn_name: str):
+        self.fn_name = fn_name
+        self.logical_path: str | None = None
+        self.tmp_path: str | None = None
+
+    def _cleanup_tmp(self):
+        if self.tmp_path is not None:
+            try:
+                os.unlink(self.tmp_path)
+            except OSError:
+                pass
+            self.tmp_path = None
+
+    def set(self, lib, table_path: str | None) -> bool:
+        """Returns False if the native side cannot take the table."""
+        if not hasattr(lib, self.fn_name):
+            return table_path is None
+        if table_path == self.logical_path:
+            return True
+        path = table_path
+        if path is not None and path.endswith(".gz"):
+            import atexit
+            import gzip
+            import tempfile
+
+            with gzip.open(path, "rt", encoding="utf-8", errors="replace") as f:
+                tmp = tempfile.NamedTemporaryFile(
+                    "w", suffix=".meteor-table.txt", delete=False
+                )
+                with tmp:
+                    for line in f:
+                        tmp.write(line)
+            self._cleanup_tmp()  # previous table's decompressed copy
+            self.tmp_path = tmp.name
+            atexit.register(self._cleanup_tmp)
+            path = tmp.name
+        n = getattr(lib, self.fn_name)(path.encode() if path is not None else None)
+        if path is not None and n < 0:
+            return False
+        if table_path is None or not table_path.endswith(".gz"):
+            self._cleanup_tmp()
+        self.logical_path = table_path
+        return True
 
 
-def _cleanup_native_tmp():
-    global _NATIVE_TMP_PATH
-    if _NATIVE_TMP_PATH is not None:
-        try:
-            os.unlink(_NATIVE_TMP_PATH)
-        except OSError:
-            pass
-        _NATIVE_TMP_PATH = None
+_PARAPHRASE_NATIVE = _NativeTable("meteor_set_paraphrase_table")
+_SYNONYM_NATIVE = _NativeTable("meteor_set_synonym_table")
 
 
 def _native_set_table(lib, paraphrase_table: str | None) -> bool:
-    """Point the native scorer at the paraphrase table (idempotent). .gz
-    tables are decompressed to a temp file once (the C++ reader is plain
-    text; the temp file is removed on table switch and at exit). Returns
-    False if the native side cannot take the table."""
-    global _NATIVE_TABLE_PATH, _NATIVE_TMP_PATH
-    if not hasattr(lib, "meteor_set_paraphrase_table"):
-        return paraphrase_table is None
-    if paraphrase_table == _NATIVE_TABLE_PATH:
-        return True
-    path = paraphrase_table
-    if path is not None and path.endswith(".gz"):
-        import atexit
-        import gzip
-        import tempfile
+    return _PARAPHRASE_NATIVE.set(lib, paraphrase_table)
 
-        with gzip.open(path, "rt", encoding="utf-8", errors="replace") as f:
-            tmp = tempfile.NamedTemporaryFile(
-                "w", suffix=".meteor-paraphrases.txt", delete=False
-            )
-            with tmp:
-                for line in f:
-                    tmp.write(line)
-        _cleanup_native_tmp()  # previous table's decompressed copy
-        _NATIVE_TMP_PATH = tmp.name
-        atexit.register(_cleanup_native_tmp)
-        path = tmp.name
-    n = lib.meteor_set_paraphrase_table(path.encode() if path is not None else None)
-    if path is not None and n < 0:
-        return False
-    if paraphrase_table is None or not paraphrase_table.endswith(".gz"):
-        _cleanup_native_tmp()
-    _NATIVE_TABLE_PATH = paraphrase_table
-    return True
+
+def _native_set_synonyms(lib, synonym_table: str | None) -> bool:
+    return _SYNONYM_NATIVE.set(lib, synonym_table)
 
 
 def segment_stats(
-    refs: Sequence[str], hyp: str, paraphrase_table: str | None = None
+    refs: Sequence[str],
+    hyp: str,
+    paraphrase_table: str | None = None,
+    synonym_table: str | None = None,
 ) -> Tuple[float, ...]:
     """Best-reference sufficient statistics (wm_h, wm_r, wlen_h, wlen_r,
     matches, chunks) for one segment. ``paraphrase_table`` enables the
-    phrase-matching stage (see module docstring)."""
+    phrase-matching stage, ``synonym_table`` the word-level synonym stage
+    (see module docstring)."""
     lib = _load_native()
-    if lib is not None and _native_set_table(lib, paraphrase_table):
+    if (
+        lib is not None
+        and _native_set_table(lib, paraphrase_table)
+        and _native_set_synonyms(lib, synonym_table)
+    ):
         out = (ctypes.c_double * 7)()
         lib.meteor_segment_stats(
             hyp.encode(), "\n".join(refs).encode(),
@@ -338,26 +377,31 @@ def segment_stats(
         )
         return tuple(out[:6])
     table = load_paraphrase_table(paraphrase_table) if paraphrase_table else None
-    return tuple(_py_segment_stats(refs, hyp, table))
+    syn = load_paraphrase_table(synonym_table) if synonym_table else None
+    return tuple(_py_segment_stats(refs, hyp, table, syn))
 
 
 def sentence_meteor(
-    refs: Sequence[str], hyp: str, paraphrase_table: str | None = None
+    refs: Sequence[str],
+    hyp: str,
+    paraphrase_table: str | None = None,
+    synonym_table: str | None = None,
 ) -> float:
     """Best single-reference Meteor 1.5 score for one hypothesis."""
-    if paraphrase_table is None:
+    if paraphrase_table is None and synonym_table is None:
         lib = _load_native()
-        if lib is not None and _native_set_table(lib, None):
+        if lib is not None and _native_set_table(lib, None) and _native_set_synonyms(lib, None):
             return float(
                 lib.meteor_sentence(hyp.encode(), "\n".join(refs).encode(), ALPHA, BETA, GAMMA)
             )
-    return score_from_stats(*segment_stats(refs, hyp, paraphrase_table))
+    return score_from_stats(*segment_stats(refs, hyp, paraphrase_table, synonym_table))
 
 
 def corpus_meteor(
     references: List[List[str]],
     hypotheses: List[str],
     paraphrase_table: str | None = None,
+    synonym_table: str | None = None,
 ) -> float:
     """references[i]: list of reference strings; hypotheses[i]: string.
     Corpus score = Meteor formula over segment statistics summed corpus-wide
@@ -367,6 +411,6 @@ def corpus_meteor(
         return 0.0
     totals = [0.0] * 6
     for refs, hyp in zip(references, hypotheses):
-        for k, v in enumerate(segment_stats(refs, hyp, paraphrase_table)):
+        for k, v in enumerate(segment_stats(refs, hyp, paraphrase_table, synonym_table)):
             totals[k] += v
     return score_from_stats(*totals)

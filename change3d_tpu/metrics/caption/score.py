@@ -25,11 +25,12 @@ def eval_caption_scores(
     hypotheses: List[Sequence],
     *,
     meteor_paraphrase_table: str | None = None,
+    meteor_synonym_table: str | None = None,
 ) -> Dict[str, float]:
-    """``meteor_paraphrase_table``: optional paraphrase table path (plain or
-    .gz, jar format) enabling METEOR's phrase-matching stage — only useful
-    when scoring real words; under the reference's stringified-token-id
-    protocol it is a no-op."""
+    """``meteor_paraphrase_table`` / ``meteor_synonym_table``: optional table
+    paths (plain or .gz, jar format) enabling METEOR's phrase-matching and
+    synonym stages — only useful when scoring real words; under the
+    reference's stringified-token-id protocol they are no-ops."""
     refs_tok = [[_to_tokens(r) for r in refs] for refs in references]
     hyps_tok = [_to_tokens(h) for h in hypotheses]
     bleu = corpus_bleu(refs_tok, hyps_tok)
@@ -39,6 +40,7 @@ def eval_caption_scores(
         [[" ".join(r) for r in refs] for refs in refs_tok],
         [" ".join(h) for h in hyps_tok],
         paraphrase_table=meteor_paraphrase_table,
+        synonym_table=meteor_synonym_table,
     )
     return {
         "Bleu_1": bleu[0],

@@ -232,6 +232,14 @@ std::map<std::string, std::vector<std::vector<std::string>>>& paraphrase_table()
 bool g_has_paraphrases = false;
 constexpr int kMaxPhraseLen = 6;
 constexpr double kWParaphrase = 0.6;  // Meteor 1.5 English paraphrase weight
+constexpr double kWSynonym = 0.8;     // Meteor 1.5 English synonym weight
+
+// Synonym table (optional, meteor_set_synonym_table): word -> synonyms.
+std::map<std::string, std::set<std::string>>& synonym_table() {
+  static std::map<std::string, std::set<std::string>> table;
+  return table;
+}
+bool g_has_synonyms = false;
 
 // Sufficient statistics of one segment's alignment (Meteor 1.5 MeteorStats).
 struct Stats {
@@ -294,6 +302,24 @@ Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>&
   };
   run_stage(false, 1.0);
   run_stage(true, w_stem);
+
+  // Synonym stage (w=0.8): 1-1 word matches through the synonym table.
+  if (g_has_synonyms) {
+    const auto& syn = synonym_table();
+    for (size_t i = 0; i < nh; i++) {
+      if (hyp_to_ref[i] >= 0) continue;
+      auto it = syn.find(hyp[i]);
+      if (it == syn.end()) continue;
+      for (size_t j = 0; j < nr; j++) {
+        if (!ref_used[j] && it->second.count(ref[j])) {
+          hyp_to_ref[i] = static_cast<int>(j);
+          stage_w[i] = kWSynonym;
+          ref_used[j] = true;
+          break;
+        }
+      }
+    }
+  }
 
   // Match records: word-stage matches are 1-1 blocks.
   std::vector<MatchRec> records;
@@ -434,6 +460,54 @@ int meteor_set_paraphrase_table(const char* path) {
     }
   }
   g_has_paraphrases = !table.empty();
+  return static_cast<int>(table.size());
+}
+
+// Load (or clear, with path == nullptr) the word-level synonym table for the
+// optional synonym stage (w=0.8). Same line formats as the paraphrase table;
+// the mapping is made symmetric. Returns entry count or -1 on read failure.
+int meteor_set_synonym_table(const char* path) {
+  auto& table = synonym_table();
+  table.clear();
+  g_has_synonyms = false;
+  if (path == nullptr) return 0;
+  std::ifstream f(path);
+  if (!f) return -1;
+
+  auto lower_strip = [](std::string s) {
+    size_t a = s.find_first_not_of(" \t\r\n");
+    size_t b = s.find_last_not_of(" \t\r\n");
+    if (a == std::string::npos) return std::string();
+    s = s.substr(a, b - a + 1);
+    for (char& c : s) c = static_cast<char>(::tolower(static_cast<unsigned char>(c)));
+    return s;
+  };
+
+  std::string line;
+  while (std::getline(f, line)) {
+    std::vector<std::string> parts;
+    size_t pos = 0;
+    while (true) {
+      size_t sep = line.find("|||", pos);
+      parts.push_back(line.substr(pos, sep == std::string::npos ? sep : sep - pos));
+      if (sep == std::string::npos) break;
+      pos = sep + 3;
+    }
+    std::string a, b;
+    if (parts.size() == 2) {
+      a = lower_strip(parts[0]);
+      b = lower_strip(parts[1]);
+    } else if (parts.size() == 3) {
+      a = lower_strip(parts[1]);
+      b = lower_strip(parts[2]);
+    } else {
+      continue;
+    }
+    if (a.empty() || b.empty() || a == b) continue;
+    table[a].insert(b);
+    table[b].insert(a);
+  }
+  g_has_synonyms = !table.empty();
   return static_cast<int>(table.size());
 }
 

@@ -254,6 +254,45 @@ def test_meteor_paraphrase_native_matches_python(paraphrase_table):
     assert plain[4] == 3
 
 
+def test_meteor_synonym_stage(tmp_path):
+    from change3d_tpu.metrics.caption import meteor as m
+
+    syn = tmp_path / "synonyms.txt"
+    syn.write_text("houses ||| buildings\nroad ||| street\n")
+    refs = ["many buildings near the road"]
+    hyp = "many houses near the street"
+    table = m.load_paraphrase_table(str(syn))
+    without = m._py_align(hyp.split(), refs[0].split())
+    with_tbl = m._py_align(hyp.split(), refs[0].split(), None, table)
+    assert without[4] == 3  # many/near/the
+    assert with_tbl[4] == 5  # + houses->buildings, street->road
+    # One contiguous block in both sentences -> 1 chunk, synonym weight 0.8
+    # shows up in the weighted match mass.
+    assert with_tbl[5] == 1
+    assert m.score_from_stats(*with_tbl) > m.score_from_stats(*without)
+
+    if m._load_native() is not None:
+        native = m.segment_stats(refs, hyp, synonym_table=str(syn))
+        python = m._py_segment_stats(refs, hyp, None, table)
+        np.testing.assert_allclose(native, python, rtol=1e-9, atol=1e-12)
+        # Clearing restores word-stage-only behaviour.
+        assert m.segment_stats(refs, hyp)[4] == 3
+
+
+def test_meteor_synonym_and_paraphrase_combined(tmp_path, paraphrase_table):
+    from change3d_tpu.metrics.caption import meteor as m
+
+    syn = tmp_path / "synonyms.txt"
+    syn.write_text("road ||| street\n")
+    refs = [["many buildings appeared along the street"]]
+    hyp = ["many houses showed up along the road"]
+    combined = m.corpus_meteor(
+        refs, hyp, paraphrase_table=paraphrase_table, synonym_table=str(syn)
+    )
+    para_only = m.corpus_meteor(refs, hyp, paraphrase_table=paraphrase_table)
+    assert combined > para_only > 0
+
+
 def test_meteor_paraphrase_gz_table(tmp_path, paraphrase_table):
     import gzip
 
