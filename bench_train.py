@@ -4,14 +4,19 @@ Prints exactly one JSON line:
   {"metric": "bcd_train_samples_per_sec_256", "value": N,
    "unit": "samples/sec", "train_ms_per_step": M, "config": {...}}
 
-Measurement: the train step chains through its own state (step N+1 consumes
-step N's params/opt_state), so the relay cannot parallelize or dedup the
-dispatches — same serial-dependency principle as bench.py.
+Measurement: STEPS train steps run inside ONE jitted lax.scan whose carry is
+the train state (step N+1 consumes step N's params/opt_state — serial by
+data dependency), timed as a single dispatch + one value fetch, best of 3
+windows. One dispatch per window matters on this relay: a Python loop of
+per-step dispatches stalls for minutes when the relay is congested, which
+is fleet noise, not chip time (same principle as bench.py).
 
-Usage: python bench_train.py [batch] [fp32|bf16] [packed|nopacked]
+Usage: python bench_train.py [batch] [fp32|bf16] [packed|nopacked] [remat|noremat]
 Defaults (production training config, measured round 3): batch 16,
-bf16 activations, packed stage 1 — see BENCH_TRAIN.json for the recorded
-ladder and ARCHITECTURE.md for the defaults decision.
+bf16 activations, packed stage 1, remat on — see BENCH_TRAIN.json for the
+recorded ladder and ARCHITECTURE.md for the defaults decision. remat trades
+backward-pass recompute FLOPs for activation memory; `noremat` A/Bs whether
+that trade pays at batches that fit HBM without it.
 """
 
 from __future__ import annotations
@@ -43,11 +48,12 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bf16"
     packed = (sys.argv[3] if len(sys.argv) > 3 else "packed") == "packed"
+    remat = (sys.argv[4] if len(sys.argv) > 4 else "remat") == "remat"
     compute_dtype = jnp.bfloat16 if dtype == "bf16" else None
 
     backbone = dataclasses.replace(
         x3d_l_config(),
-        remat=True,
+        remat=remat,
         packed_eval_stages=(0,) if packed else (),
         packed_train=packed,
     )
@@ -60,17 +66,26 @@ def main():
     }
     tx = torch_adam(poly_warmup_schedule(2e-4, 80_000, 500), weight_decay=1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch_data)
-    step = make_train_step(model, tx, compute_dtype=compute_dtype)
+    step = make_train_step(model, tx, donate=False, compute_dtype=compute_dtype)
     key = jax.random.PRNGKey(1)
 
-    for _ in range(3):  # compile + warm
-        state, m = step(state, batch_data, key)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, m = step(state, batch_data, key)
-    float(m["loss"])  # drains the serially-dependent chain
-    dt = (time.perf_counter() - t0) / STEPS
+    def chained(state, batch, key, n):
+        def body(carry, _):
+            new_state, _metrics = step(carry, batch, key)
+            return new_state, ()
+
+        final, _ = jax.lax.scan(body, state, None, length=n)
+        return final.step
+
+    run = jax.jit(chained, static_argnums=3)
+    assert int(run(state, batch_data, key, 2)) == 2  # compile (short chain)
+    int(run(state, batch_data, key, STEPS))  # second warmup at full length
+    # Best of 3 timed windows; each window is one dispatch + one fetch.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run(state, batch_data, key, STEPS))
+        dt = min(dt, (time.perf_counter() - t0) / STEPS)
 
     print(
         json.dumps(
@@ -79,7 +94,7 @@ def main():
                 "value": round(batch / dt, 2),
                 "unit": "samples/sec",
                 "train_ms_per_step": round(dt * 1e3, 2),
-                "config": {"batch": batch, "dtype": dtype, "packed": packed, "remat": True},
+                "config": {"batch": batch, "dtype": dtype, "packed": packed, "remat": remat},
             }
         )
     )
