@@ -230,6 +230,11 @@ def run_export(args):
 
         if not (args.file_root or args.word_map):
             raise SystemExit("cc export needs --word_map (or --file_root to find it)")
+        if args.in_width != args.in_height:
+            raise SystemExit(
+                "cc export: the caption model is square-input "
+                "(--in_height must equal --in_width)"
+            )
         ccfg = CaptionRunConfig(
             file_root=args.file_root or "", dataset=args.dataset, word_map=args.word_map,
             embed_dim=args.embed_dim, n_head=args.n_head, n_layer=args.n_layer,

@@ -70,6 +70,10 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 _NATIVE_DIR = os.path.abspath(_NATIVE_DIR)
 _LIB = None
 _LIB_TRIED = False
+# Must match meteor_abi_version() in native/meteor.cpp. Bumped whenever
+# scoring semantics change so a stale prebuilt .so (loadable when make is
+# unavailable) can never silently diverge from the Python fallback.
+_NATIVE_ABI_VERSION = 2
 
 
 def _load_native():
@@ -91,6 +95,17 @@ def _load_native():
             if not os.path.exists(so):
                 raise
         lib = ctypes.CDLL(so)
+        try:
+            lib.meteor_abi_version.restype = ctypes.c_int
+            ver = lib.meteor_abi_version()
+        except AttributeError:
+            ver = -1  # pre-versioning build
+        if ver != _NATIVE_ABI_VERSION:
+            # Semantics mismatch: prefer the (slow but consistent) pure-Python
+            # path over a library scoring with outdated alignment rules.
+            raise RuntimeError(
+                f"stale libmeteor.so (abi {ver}, expected {_NATIVE_ABI_VERSION})"
+            )
         lib.meteor_sentence.restype = ctypes.c_double
         lib.meteor_sentence.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -102,12 +117,10 @@ def _load_native():
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ]
+        # The ABI version gate above guarantees these symbols exist.
         for fn in ("meteor_set_paraphrase_table", "meteor_set_synonym_table"):
-            try:  # absent only in a stale pre-round-3 .so
-                getattr(lib, fn).restype = ctypes.c_int
-                getattr(lib, fn).argtypes = [ctypes.c_char_p]
-            except AttributeError:
-                pass
+            getattr(lib, fn).restype = ctypes.c_int
+            getattr(lib, fn).argtypes = [ctypes.c_char_p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -335,6 +348,11 @@ class _NativeTable:
             path = tmp.name
         n = getattr(lib, self.fn_name)(path.encode() if path is not None else None)
         if path is not None and n < 0:
+            # The C++ side clears its table before attempting a load, so a
+            # failed load leaves the native state EMPTY — forget the previous
+            # path, or a retry with it would short-circuit to "already loaded"
+            # and silently score without the stage.
+            self.logical_path = None
             return False
         if table_path is None or not table_path.endswith(".gz"):
             self._cleanup_tmp()

@@ -410,6 +410,13 @@ Stats best_reference_stats(const char* hypothesis, const char* references_nl,
 
 extern "C" {
 
+// Semantics/ABI version of this library. metrics/caption/meteor.py refuses
+// to use a prebuilt .so whose version differs from its expected constant
+// (falling back to the equivalent pure-Python scorer), so a stale binary can
+// never silently score with outdated alignment rules. Bump BOTH sides when
+// scoring semantics change.
+int meteor_abi_version() { return 2; }
+
 // Load (or clear, with path == nullptr) the paraphrase table used by the
 // optional phrase-matching stage. Lines: "phrase1 ||| phrase2" or the jar's
 // "prob ||| phrase1 ||| phrase2" (plain text; Python decompresses .gz).

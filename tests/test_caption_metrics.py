@@ -314,3 +314,35 @@ def test_eval_caption_scores_keys():
     for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
         assert k in scores
         assert np.isfinite(scores[k])
+
+
+def test_meteor_failed_table_load_recovers(tmp_path, paraphrase_table):
+    """A failed native table load clears the C++ table; a retry with the
+    previously-good path must actually reload it (regression: logical_path
+    used to stay stale, silently scoring without the paraphrase stage)."""
+    from change3d_tpu.metrics.caption import meteor as m
+
+    if m._load_native() is None:
+        pytest.skip("no C++ toolchain")
+    refs = ["many buildings appeared along the coastline"]
+    hyp = "many houses showed up along the sea front"
+    good = m.segment_stats(refs, hyp, paraphrase_table=paraphrase_table)
+    with pytest.raises(Exception):
+        m.segment_stats(refs, hyp, paraphrase_table=str(tmp_path / "missing.txt"))
+    again = m.segment_stats(refs, hyp, paraphrase_table=paraphrase_table)
+    np.testing.assert_allclose(again, good, rtol=1e-12)
+
+
+def test_meteor_native_abi_version_in_sync():
+    """The built .so must advertise the Python side's expected ABI version
+    (the load path rejects any other — stale prebuilt binaries fall back to
+    the pure-Python scorer instead of silently diverging)."""
+    import ctypes
+
+    from change3d_tpu.metrics.caption import meteor as m
+
+    lib = m._load_native()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    lib.meteor_abi_version.restype = ctypes.c_int
+    assert lib.meteor_abi_version() == m._NATIVE_ABI_VERSION
