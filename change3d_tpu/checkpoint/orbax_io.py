@@ -52,3 +52,19 @@ class CheckpointManager:
     def restore_best(self, template):
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(self.best_dir, template)
+
+    def restore_latest_variables(self) -> tuple[dict, int]:
+        """Weights-only restore of the newest step, template-free.
+
+        Raw-pytree restore of the saved TrainState, keeping only
+        ``params``/``batch_stats``: usable without reconstructing the run's
+        optimizer (whose state structure varies with --encoder_lr /
+        --no-fine_tune_encoder). Returns ``(variables, step)``."""
+        step = self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        raw = self.mgr.restore(step)
+        return (
+            {"params": raw["params"], "batch_stats": raw.get("batch_stats") or {}},
+            int(step),
+        )

@@ -16,6 +16,7 @@ over mechanically:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 from change3d_tpu.train.loop import RunConfig, run_detection_training
@@ -172,6 +173,62 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--n_head", type=int, default=8)
     exp.add_argument("--n_layer", type=int, default=3)
 
+    info = sub.add_parser(
+        "info",
+        help="report parameter counts and XLA-measured FLOPs for a task "
+        "model, next to the reference's published efficiency numbers",
+    )
+    info.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
+    info.add_argument("--num_class", type=int, default=None)
+    info.add_argument("--in_height", type=int, default=256)
+    info.add_argument("--in_width", type=int, default=256)
+    info.add_argument("--vocab_size", type=int, default=500)
+    info.add_argument("--embed_dim", type=int, default=192)
+    info.add_argument("--n_head", type=int, default=8)
+    info.add_argument("--n_layer", type=int, default=3)
+    info.add_argument("--json", action="store_true", help="emit the report as JSON")
+
+    ev = sub.add_parser(
+        "eval",
+        help="standalone evaluation of a saved run: restore its weights "
+        "(best or latest) and score any split — the reference only offers "
+        "this fused into training",
+    )
+    ev.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
+    ev.add_argument(
+        "--checkpoint", required=True,
+        help="run dir holding ckpt/ and best/ "
+        "({save_dir}/{dataset}_iter_{steps}_lr_{lr} or {save_dir}/{dataset}_cc_lr_{lr})",
+    )
+    ev.add_argument("--file_root", required=True)
+    ev.add_argument("--dataset", default=None, help="dataset name (CC: HDF5 file prefix)")
+    ev.add_argument(
+        "--split", default=None,
+        help="dataset split (default: test; CC: TEST)",
+    )
+    ev.add_argument(
+        "--which", default="best", choices=["best", "latest"],
+        help="'best' = metric-gated best weights (reference protocol); "
+        "'latest' = newest orbax step",
+    )
+    ev.add_argument("--num_class", type=int, default=None)
+    ev.add_argument("--in_height", type=int, default=256)
+    ev.add_argument("--in_width", type=int, default=256)
+    ev.add_argument("--batch_size", type=int, default=16)
+    ev.add_argument("--num_workers", type=int, default=4)
+    ev.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    ev.add_argument("--packed", action=argparse.BooleanOptionalAction, default=False)
+    ev.add_argument("--fused", action="store_true")
+    ev.add_argument("--json", action="store_true", help="emit scores as JSON")
+    # CC-specific
+    ev.add_argument("--word_map", default=None)
+    ev.add_argument("--beam_size", type=int, default=1)
+    ev.add_argument("--embed_dim", type=int, default=192)
+    ev.add_argument("--n_head", type=int, default=8)
+    ev.add_argument("--n_layer", type=int, default=3)
+    ev.add_argument("--save_json", action="store_true",
+                    help="CC: also write res.json/gts.json under the run dir")
+
     vc = sub.add_parser(
         "verify-checkpoint",
         help="strict-convert a real X3D_L.pyth, run a per-block forward on a "
@@ -215,6 +272,84 @@ def run_verify_checkpoint(args) -> int:
         with open(args.report, "w") as f:
             json.dump(report, f, indent=1)
     return 0 if report["all_pass"] in (True, None) else 1
+
+
+def run_eval(args) -> int:
+    import json
+
+    if args.model_task == "cc":
+        from change3d_tpu.train.caption_loop import CaptionRunConfig, run_caption_eval
+
+        cfg = CaptionRunConfig(
+            file_root=args.file_root,
+            word_map=args.word_map,
+            embed_dim=args.embed_dim,
+            n_head=args.n_head,
+            n_layer=args.n_layer,
+            beam_size=args.beam_size,
+            eval_batch_size=args.batch_size,
+            num_workers=args.num_workers,
+        )
+        if args.dataset:
+            cfg = dataclasses.replace(cfg, dataset=args.dataset)
+        scores = run_caption_eval(
+            cfg, run_dir=args.checkpoint, split=args.split, which=args.which,
+            save_json=args.save_json,
+        )
+    else:
+        from change3d_tpu.train.loop import run_detection_eval
+
+        num_class = args.num_class
+        if num_class is None:
+            num_class = {"bcd": 1, "scd": 6, "bda": 5}[args.model_task]
+        cfg = RunConfig(
+            task=args.model_task,
+            file_root=args.file_root,
+            num_classes=num_class,
+            in_height=args.in_height,
+            in_width=args.in_width,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            compute_dtype=args.compute_dtype,
+            packed=args.packed,
+            fused=args.fused,
+        )
+        scores = run_detection_eval(
+            cfg, run_dir=args.checkpoint, split=args.split or "test",
+            which=args.which,
+        )
+    if args.json:
+        print(json.dumps(scores))
+    else:
+        for k, v in scores.items():
+            print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    return 0
+
+
+def run_info(args) -> int:
+    import json
+
+    # The report is a property of the traced program (eval_shape + abstract
+    # lowering), not of any chip: pin the CPU platform so it never waits on
+    # a TPU link.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from change3d_tpu.utils.model_info import format_info, model_info
+
+    report = model_info(
+        args.model_task,
+        num_classes=args.num_class,
+        in_height=args.in_height,
+        in_width=args.in_width,
+        vocab_size=args.vocab_size,
+        embed_dim=args.embed_dim,
+        n_head=args.n_head,
+        n_layer=args.n_layer,
+    )
+    print(json.dumps(report) if args.json else format_info(report))
+    return 0
 
 
 def run_export(args):
@@ -398,6 +533,10 @@ def main(argv=None):
         return run_predict(args)
     elif args.task == "export":
         return run_export(args)
+    elif args.task == "info":
+        return run_info(args)
+    elif args.task == "eval":
+        return run_eval(args)
     elif args.task == "verify-checkpoint":
         return run_verify_checkpoint(args)
 

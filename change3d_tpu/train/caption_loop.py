@@ -234,6 +234,47 @@ class _EveryFifth:
         return self.ds.__getitem__(self.idxs[i], rng)
 
 
+def run_caption_eval(
+    cfg: CaptionRunConfig,
+    run_dir: Optional[str] = None,
+    split: Optional[str] = None,
+    which: str = "best",
+    save_json: bool = False,
+) -> Dict[str, float]:
+    """Standalone caption evaluation of a finished run (beam decode + the
+    full metric suite). The reference only scores inside training
+    (ref: /root/reference/scripts/train_CC.py:170-376); this detaches it so
+    an existing checkpoint can be scored on any split. ``which`` picks the
+    BLEU-4-gated ``best`` weights or the ``latest`` orbax step."""
+    word_map = load_word_map(cfg)
+    run_dir = run_dir or os.path.join(cfg.save_dir, f"{cfg.dataset}_cc_lr_{cfg.lr}")
+    data = _EveryFifth(CaptionDataset(cfg.file_root, cfg.dataset, split or cfg.eval_split))
+    loader = make_data_loader(
+        "threaded", data, cfg.eval_batch_size, shuffle=False,
+        num_workers=cfg.num_workers, collate=caption_collate, pad_final=True,
+    )
+    probe = data.__getitem__(0)
+    model = build_caption_model(cfg, len(word_map), in_size=probe["pre"].shape[0])
+    ckpt = CheckpointManager(run_dir)
+    if which == "best":
+        sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)
+        template = model.init(
+            jax.random.PRNGKey(0), sample, sample,
+            captions=jnp.zeros((1, 4), jnp.int32),
+        )
+        variables = ckpt.restore_best(
+            {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
+        )
+    else:
+        variables, step = ckpt.restore_latest_variables()
+        print(f"evaluating latest checkpoint (step {step})")
+    decode_fn = make_decode_fn(model, cfg.beam_size, word_map)
+    return evaluate_captions(
+        model, variables, loader, word_map, beam_size=cfg.beam_size,
+        save_dir=run_dir if save_json else None, decode_fn=decode_fn,
+    )
+
+
 def run_caption_training(args) -> Dict[str, float]:
     cfg = CaptionRunConfig(
         file_root=args.file_root,

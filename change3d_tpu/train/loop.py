@@ -33,7 +33,12 @@ from change3d_tpu.parallel.mesh import (
     replicated_sharding,
     multiple_of_devices,
 )
-from change3d_tpu.train.engine import create_train_state, make_train_step, make_eval_step
+from change3d_tpu.train.engine import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
 from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.utils.logging import setup_logger
@@ -137,6 +142,75 @@ def _update_meter(task: str, meter, metrics):
         meter.update(metrics["loc_cm"], metrics["cls_cm"])
 
 
+def _evaluate_split(cfg: RunConfig, eval_step, state, loader, bsh) -> Dict[str, float]:
+    """One metered pass over an eval loader (the reference's val(),
+    ref: /root/reference/scripts/train_BCD.py:92-154)."""
+    meter = _make_meter(cfg.task, cfg.num_classes)
+    losses = []
+    for batch in device_prefetch(loader, bsh):
+        # 'valid' marks padded samples in the final batch; the engine
+        # masks them out of the confusion matrices on device.
+        metrics = eval_step(state, batch)
+        metrics = jax.device_get(metrics)
+        losses.append(float(metrics.pop("loss")))
+        _update_meter(cfg.task, meter, metrics)
+    scores = meter.scores()
+    scores["loss"] = float(np.mean(losses)) if losses else float("nan")
+    return scores
+
+
+def run_detection_eval(
+    cfg: RunConfig,
+    run_dir: Optional[str] = None,
+    split: str = "test",
+    which: str = "best",
+) -> Dict[str, float]:
+    """Standalone evaluation of a finished run — no training step involved.
+
+    The reference only exposes evaluation fused into training (final
+    best-model pass, ref: /root/reference/scripts/train_BCD.py:360-383); this
+    is the detached equivalent for scoring an existing checkpoint on any
+    split. ``which`` selects the metric-gated ``best`` weights (the
+    reference's protocol) or the ``latest`` orbax step.
+    """
+    assert cfg.task in _DATASETS, cfg.task
+    mesh = make_mesh()
+    batch_size = multiple_of_devices(cfg.batch_size, mesh)
+    cfg = dataclasses.replace(cfg, batch_size=batch_size)
+    run_dir = run_dir or os.path.join(
+        cfg.save_dir, f"{cfg.dataset}_iter_{cfg.max_steps}_lr_{cfg.lr}"
+    )
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    _, eval_tf = make_transform_pipelines(cfg.task, cfg.in_width, cfg.in_height)
+    data = _DATASETS[cfg.task](cfg.file_root, split, eval_tf)
+    loader = make_data_loader(
+        "threaded", data, cfg.batch_size, shuffle=False,
+        num_workers=cfg.num_workers, collate=pair_collate, pad_final=True,
+    )
+    model = build_model(cfg)
+    ckpt = CheckpointManager(run_dir)
+    if which == "best":
+        sample = jnp.zeros((1, cfg.in_height, cfg.in_width, 3), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), sample, sample)
+        variables = ckpt.restore_best(
+            {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
+        )
+    else:
+        variables, step = ckpt.restore_latest_variables()
+        print(f"evaluating latest checkpoint (step {step})")
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=None,
+    )
+    state = jax.device_put(state, rsh)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
+    return _evaluate_split(cfg, eval_step, state, loader, bsh)
+
+
 def run_detection_training(cfg: RunConfig) -> Dict[str, Any]:
     """BCD / SCD / BDA unified train+validate (the reference's
     trainValidate, ref: /root/reference/scripts/train_BCD.py:240-383)."""
@@ -220,18 +294,7 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
     results: Dict[str, Any] = {}
 
     def evaluate(state) -> Dict[str, float]:
-        meter = _make_meter(cfg.task, cfg.num_classes)
-        losses = []
-        for batch in device_prefetch(test_loader, bsh):
-            # 'valid' marks padded samples in the final batch; the engine
-            # masks them out of the confusion matrices on device.
-            metrics = eval_step(state, batch)
-            metrics = jax.device_get(metrics)
-            losses.append(float(metrics.pop("loss")))
-            _update_meter(cfg.task, meter, metrics)
-        scores = meter.scores()
-        scores["loss"] = float(np.mean(losses)) if losses else float("nan")
-        return scores
+        return _evaluate_split(cfg, eval_step, state, test_loader, bsh)
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch, max_epochs):
