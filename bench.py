@@ -62,11 +62,17 @@ def main():
             () if sys.argv[2] == "none"
             else tuple(int(s) for s in sys.argv[2].split(","))
         )
-    # Fused stage-3 Pallas blocks (ops/pallas/fused_block.py), equality-tested
-    # and TPU-measured since round 3 (the round-2 Mosaic blocker was a 1-D dot
-    # lowering bug, worked around in the SE kernel). +2.5% at b64, -1.4% at
-    # the production b128 — off by default; argv[3] "fused" A/Bs it.
-    fused = len(sys.argv) > 3 and sys.argv[3] == "fused"
+    # argv[3:] is a set of A/B flags:
+    # - "fused": fused stage-3 Pallas blocks (ops/pallas/fused_block.py),
+    #   equality-tested and TPU-measured since round 3 (the round-2 Mosaic
+    #   blocker was a 1-D dot lowering bug, worked around in the SE kernel).
+    #   +2.5% at b64, -1.4% at the production b128 — off by default.
+    # - "embed": close over the weights at jit time (serving mode) so the BN
+    #   scale/shift vectors become compile-time constants XLA can fold into
+    #   neighboring work instead of runtime parameters.
+    flags = set(sys.argv[3:])
+    fused = "fused" in flags
+    embed = "embed" in flags
     backbone = dataclasses.replace(
         x3d_l_config(), packed_eval_stages=stages, fused_inference=fused
     )
@@ -86,7 +92,15 @@ def main():
         final, _ = jax.lax.scan(body, pre, None, length=n)
         return jnp.sum(final)
 
-    run = jax.jit(chained, static_argnums=3)
+    if embed:
+        _jit = jax.jit(
+            lambda pre, post, n: chained(variables, pre, post, n), static_argnums=2
+        )
+
+        def run(_, pre, post, n):
+            return _jit(pre, post, n)
+    else:
+        run = jax.jit(chained, static_argnums=3)
     float(run(variables, pre, post, 2))  # warmup/compile (same scan body)
     float(run(variables, pre, post, ITERS))  # second warmup at full length
 

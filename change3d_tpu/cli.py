@@ -69,6 +69,17 @@ def _common_flags(p: argparse.ArgumentParser):
         "(stage 3 at 256^2; +2.5%% eval on v5e at batch 64, slightly negative "
         "at batch 128; bf16-rounding-level numeric difference)",
     )
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="write a jax.profiler trace of training steps 10-14 here "
+        "(XProf/TensorBoard kernel-level timing)",
+    )
+    p.add_argument(
+        "--platform", default=None, choices=["cpu"],
+        help="force a JAX platform (default: the environment's, usually the "
+        "TPU). 'cpu' runs the identical program on the host — useful for "
+        "smoke runs and when the TPU link is unavailable",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -489,6 +500,13 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must land before the first backend lookup; the TPU plugin re-asserts
+        # JAX_PLATFORMS, so the config override (not the env var) is the
+        # reliable switch.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if getattr(args, "coordinator_address", None) or getattr(args, "num_processes", None):
         from change3d_tpu.parallel.distributed import initialize
 
@@ -521,6 +539,7 @@ def main(argv=None):
             packed=args.packed,
             fused=args.fused,
             loader=args.loader,
+            profile_dir=args.profile_dir,
         )
         return run_detection_training(cfg)
     elif args.task == "cc":

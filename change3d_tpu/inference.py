@@ -42,11 +42,27 @@ def restore_best_variables(model: Change3D, save_path: str):
 
 
 class Predictor:
-    def __init__(self, model: Change3D, variables, *, compute_dtype=jnp.bfloat16):
+    def __init__(
+        self,
+        model: Change3D,
+        variables,
+        *,
+        compute_dtype=jnp.bfloat16,
+        embed_weights: bool = False,
+    ):
+        """``embed_weights=True`` closes the weights over the jitted forward
+        (serving mode): XLA sees them as compile-time constants, so the BN
+        scale/shift vectors constant-fold into neighboring work instead of
+        arriving as runtime parameters. Use for long-lived predictors whose
+        weights never change; leave off when variables will be swapped."""
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype
-        self._forward = jax.jit(self._make_forward())
+        fwd = self._make_forward()
+        if embed_weights:
+            self._forward = jax.jit(lambda v, pre, post: fwd(variables, pre, post))
+        else:
+            self._forward = jax.jit(fwd)
 
     def _make_forward(self):
         model, dtype = self.model, self.compute_dtype
@@ -81,11 +97,16 @@ class Predictor:
 
 class CaptionPredictor(Predictor):
     def __init__(self, model: Change3D, variables, word_map: Dict[str, int], *, beam_size: int = 1, **kw):
+        embed = kw.get("embed_weights", False)
         super().__init__(model, variables, **kw)
         self.word_map = word_map
         self.rev = {v: k for k, v in word_map.items()}
         self.beam_size = beam_size
-        self._decode = jax.jit(self._make_decode())
+        dec = self._make_decode()
+        if embed:
+            self._decode = jax.jit(lambda v, pre, post: dec(variables, pre, post))
+        else:
+            self._decode = jax.jit(dec)
 
     def _make_decode(self):
         from change3d_tpu.models.caption_decoder import make_incremental_fns

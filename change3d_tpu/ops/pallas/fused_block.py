@@ -187,7 +187,7 @@ def fused_bottleneck_block_htiled(
         w_a.astype(x.dtype), a_a.astype(jnp.float32), b_a.astype(jnp.float32),
         w_dw.astype(jnp.float32), a_b.astype(jnp.float32), b_b.astype(jnp.float32),
     )
-    front_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem()] * 6
+    front_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [vmem()] * 6
     scratch_shapes = [
         pltpu.VMEM((t, h_tile + 2, w, c), x.dtype),
         pltpu.SemaphoreType.DMA(()),

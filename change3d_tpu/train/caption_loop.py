@@ -52,6 +52,7 @@ from change3d_tpu.train.lr import shrink_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.metrics.caption import eval_caption_scores
 from change3d_tpu.utils.logging import setup_logger
+from change3d_tpu.utils.profiling import WindowTracer
 
 NOCHANGE_SENTENCES = [
     "the scene is the same as before",
@@ -88,6 +89,7 @@ class CaptionRunConfig:
     fine_tune_encoder: bool = True  # ref: train_CC.py:645 (False freezes the encoder)
     compute_dtype: str = "float32"  # 'bfloat16' -> bf16 activations in the train step
     loader: str = "threaded"  # or 'grain'
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-14
 
 
 def load_word_map(cfg: CaptionRunConfig) -> Dict[str, int]:
@@ -298,6 +300,7 @@ def run_caption_training(args) -> Dict[str, float]:
         fine_tune_encoder=getattr(args, "fine_tune_encoder", True),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         loader=getattr(args, "loader", "threaded"),
+        profile_dir=getattr(args, "profile_dir", None),
     )
     if getattr(args, "eval_batch_size", None):
         cfg = dataclasses.replace(cfg, eval_batch_size=args.eval_batch_size)
@@ -393,6 +396,7 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     best_bleu4 = -1.0
     results: Dict[str, float] = {}
 
+    tracer = WindowTracer(cfg.profile_dir)
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -400,6 +404,7 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
         last_metrics, last_sampled, last_i = None, -1, -1
         n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
+            tracer.tick(i)
             batch.pop("all_captions", None)
             state, last_metrics = train_step(state, batch, rng)
             if i % 50 == 0:  # periodic host sync only; keeps the device queue full
@@ -415,6 +420,7 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
                         flush=True,
                     )
             last_i = i
+        tracer.close()
         if last_metrics is not None and last_i != last_sampled:
             host = jax.device_get(last_metrics)
             losses.append(float(host["loss"]))

@@ -42,6 +42,7 @@ from change3d_tpu.train.engine import (
 from change3d_tpu.train.lr import poly_warmup_schedule, step_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.utils.logging import setup_logger
+from change3d_tpu.utils.profiling import WindowTracer
 
 
 @dataclasses.dataclass
@@ -81,6 +82,9 @@ class RunConfig:
     # stage 1. Off by default for reference-exact eval numerics (differences
     # are bf16-rounding level, equality-tested to atol 2e-2 on bf16).
     fused: bool = False
+    # Write a jax.profiler trace of training steps 10-14 (first epoch) here
+    # for XProf/TensorBoard kernel-level timing. None = off.
+    profile_dir: Optional[str] = None
     # CC-specific
     vocab_size: int = 0
     embed_dim: int = 192
@@ -297,6 +301,7 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
         return _evaluate_split(cfg, eval_step, state, test_loader, bsh)
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    tracer = WindowTracer(cfg.profile_dir)
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -304,6 +309,7 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
         losses = []
         n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
+            tracer.tick(i)
             state, last_metrics = train_step(state, batch, step_rng)
             if i % 50 == 0:  # periodic host sync only; keeps the device queue full
                 losses.append(float(jax.device_get(last_metrics["loss"])))
@@ -317,6 +323,7 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
                         flush=True,
                     )
             last_i = i
+        tracer.close()
         if last_metrics is not None and last_i != last_sampled:
             losses.append(float(jax.device_get(last_metrics["loss"])))
         mean_loss = float(np.mean(losses)) if losses else float("nan")

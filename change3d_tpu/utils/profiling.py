@@ -29,6 +29,41 @@ def trace_context(logdir: Optional[str]):
             jax.profiler.stop_trace()
 
 
+class WindowTracer:
+    """Trace a fixed window of training steps into ``logdir``.
+
+    ``tick(i)`` before step ``i`` starts the jax.profiler trace at
+    ``start`` and stops it at ``start + n`` (so steps [start, start+n) are
+    captured, skipping compile iterations). One window per run; inert when
+    ``logdir`` is falsy. ``close()`` stops a window the loop never finished
+    (short epochs, exceptions)."""
+
+    def __init__(self, logdir: Optional[str], start: int = 10, n: int = 5):
+        self.logdir = logdir
+        self.start = start
+        self.end = start + n
+        self._on = False
+        self._done = False
+
+    def tick(self, i: int) -> None:
+        if not self.logdir or self._done:
+            return
+        if not self._on and i >= self.start:
+            jax.profiler.start_trace(self.logdir)
+            self._on = True
+        elif self._on and i >= self.end:
+            self._stop()
+
+    def _stop(self) -> None:
+        jax.profiler.stop_trace()
+        self._on = False
+        self._done = True
+
+    def close(self) -> None:
+        if self._on:
+            self._stop()
+
+
 class StepTimer:
     def __init__(self, warmup: int = 2):
         self.warmup = warmup

@@ -36,6 +36,28 @@ def test_bcd_predictor():
     assert out["change"].dtype == bool
 
 
+def test_bcd_predictor_embed_weights_matches():
+    """Serving mode (weights closed over as compile-time constants) matches
+    the parameter-passing path to reordering/ulp level (XLA constant-folds
+    the BN vectors, which changes fusion decisions but not the math)."""
+    import jax.numpy as jnp
+
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    variables = _init(model)
+    rng = np.random.RandomState(1)
+    a = rng.randn(2, H, W, 3).astype(np.float32)
+    b = rng.randn(2, H, W, 3).astype(np.float32)
+    base = Predictor(model, variables, compute_dtype=jnp.float32)
+    emb = Predictor(model, variables, compute_dtype=jnp.float32, embed_weights=True)
+    np.testing.assert_allclose(
+        base._forward(variables, jnp.asarray(a), jnp.asarray(b))["change"],
+        emb._forward(variables, jnp.asarray(a), jnp.asarray(b))["change"],
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    assert emb.predict(a, b)["change"].shape == (2, H, W)
+
+
 def test_scd_bda_predictors():
     rng = np.random.RandomState(0)
     a = rng.randn(2, H, W, 3).astype(np.float32)
