@@ -161,6 +161,59 @@ def save_caption_json(save_dir: str, word_map: Dict[str, int], hypotheses, refer
         json.dump(gts, f)
 
 
+def _allgather_caption_results(hypotheses, references):
+    """Reconstruct the full eval set on every host (multi-host CC eval).
+
+    Each process decodes only its slice of every global batch (loader
+    process-sharding, data/pipeline.py); token lists are padded into fixed
+    int32 arrays, ``process_allgather``ed, and unpacked in process order, so
+    every host scores the identical global set — the per-epoch BLEU-4 best
+    gate (and the collective orbax save it triggers) then agrees across
+    hosts. Corpus metrics are order-insensitive, so the process-major
+    ordering does not affect scores."""
+    from jax.experimental import multihost_utils
+
+    n = len(hypotheses)
+    cpi = max((len(r) for r in references), default=0)
+    maxlen = max(
+        [len(h) for h in hypotheses]
+        + [len(t) for refs in references for t in refs]
+        + [1]
+    )
+    dims = np.asarray(
+        multihost_utils.process_allgather(np.array([n, cpi, maxlen], np.int32))
+    ).reshape(-1, 3)
+    n_max = int(dims[:, 0].max())
+    cpi_max = int(dims[:, 1].max())
+    L = int(dims[:, 2].max())
+
+    hyp = np.full((n_max, L), -1, np.int32)
+    hyp_len = np.zeros((n_max,), np.int32)
+    ref = np.full((n_max, cpi_max, L), -1, np.int32)
+    ref_cnt = np.zeros((n_max,), np.int32)
+    for i, h in enumerate(hypotheses):
+        hyp_len[i] = len(h)
+        hyp[i, : len(h)] = h
+    for i, refs in enumerate(references):
+        ref_cnt[i] = len(refs)
+        for j, t in enumerate(refs):
+            ref[i, j, : len(t)] = t
+
+    g_hyp = np.asarray(multihost_utils.process_allgather(hyp))
+    g_len = np.asarray(multihost_utils.process_allgather(hyp_len))
+    g_ref = np.asarray(multihost_utils.process_allgather(ref))
+    g_cnt = np.asarray(multihost_utils.process_allgather(ref_cnt))
+
+    all_h, all_r = [], []
+    for p in range(dims.shape[0]):
+        for i in range(int(dims[p, 0])):
+            all_h.append([int(t) for t in g_hyp[p, i, : g_len[p, i]]])
+            all_r.append(
+                [[int(t) for t in row[row >= 0]] for row in g_ref[p, i, : g_cnt[p, i]]]
+            )
+    return all_h, all_r
+
+
 def evaluate_captions(
     model: Change3D,
     variables,
@@ -197,7 +250,10 @@ def evaluate_captions(
             hypotheses.append(hyp)
             references.append(refs)
 
-    if save_dir:
+    if jax.process_count() > 1:
+        hypotheses, references = _allgather_caption_results(hypotheses, references)
+
+    if save_dir and jax.process_index() == 0:
         save_caption_json(save_dir, word_map, hypotheses, references)
     scores = eval_caption_scores(references, hypotheses)
 
@@ -304,18 +360,11 @@ def run_caption_training(args) -> Dict[str, float]:
     )
     if getattr(args, "eval_batch_size", None):
         cfg = dataclasses.replace(cfg, eval_batch_size=args.eval_batch_size)
-    if jax.process_count() > 1:
-        # CC's beam-search evaluation decodes host-local batches; under
-        # process-sharded loaders each host would score only its shard and
-        # the per-process best-Bleu4 gate would diverge — some hosts entering
-        # the collective orbax save and others not (deadlock). Refuse loudly
-        # until a global-array decode path exists; detection tasks fully
-        # support multi-host.
-        raise NotImplementedError(
-            "cc training is single-host for now (beam-search eval is "
-            "host-local); run bcd/scd/bda multi-host or drop "
-            "--coordinator_address/--num_processes for cc"
-        )
+    # Multi-host CC: training shards like detection (loader process-sharding
+    # + shard_batch global arrays); beam-search eval decodes host-local
+    # slices and _allgather_caption_results reconstructs the global set on
+    # every host, so the per-epoch BLEU-4 best gate (and the collective
+    # orbax save it triggers) agrees across processes.
     word_map = load_word_map(cfg)
     vocab_size = len(word_map)
     mesh = make_mesh()

@@ -76,6 +76,72 @@ print(f"proc {jax.process_index()} loss={loss:.8f}", flush=True)
 """
 
 
+_CC_WORKER = r"""
+import os, sys
+sys.path.insert(0, "@REPO@")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from change3d_tpu.parallel.distributed import initialize
+
+initialize(
+    coordinator_address="@ADDR@",
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+from tests._tiny_cc import caption_eval_scores
+
+scores = caption_eval_scores("@ROOT@")
+print(
+    f"proc {jax.process_index()} "
+    f"Bleu_4={scores['Bleu_4']:.8f} CIDEr={scores['CIDEr']:.8f} "
+    f"ROUGE_L={scores['ROUGE_L']:.8f} n_ok", flush=True,
+)
+"""
+
+
+def test_two_process_caption_eval_matches_single_process(tmp_path):
+    """Multi-host CC eval: two processes, each beam-decoding only its slice
+    of every global eval batch, must reconstruct the full hypothesis set via
+    allgather and report the same corpus scores as a single-process run."""
+    import re
+
+    from tests._tiny_cc import caption_eval_scores, write_caption_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "cc")
+    write_caption_dataset(root)
+
+    ref = caption_eval_scores(root)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    code = (
+        _CC_WORKER.replace("@REPO@", repo).replace("@ADDR@", addr).replace("@ROOT@", root)
+    )
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    for metric in ("Bleu_4", "CIDEr", "ROUGE_L"):
+        vals = [
+            float(re.search(rf"{metric}=([\d.e+-]+)", out).group(1)) for out in outs
+        ]
+        assert vals[0] == vals[1], (metric, vals)
+        assert abs(vals[0] - ref[metric]) < 1e-6, (metric, vals[0], ref[metric])
+
+
 def test_two_process_bcd_train_step_matches_single_process(tmp_path):
     """End-to-end multi-host training data path: two processes, each decoding
     only its half of every global batch, run one real BCD train step over the
