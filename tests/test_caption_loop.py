@@ -122,3 +122,20 @@ def test_cc_bf16_compute_dtype_changes_activations_and_trains(caption_root):
     assert np.isfinite(l16)
     assert abs(l16 - l32) / abs(l32) < 0.05  # same loss to bf16 rounding
     assert l16 != l32  # but genuinely a different numeric path
+
+
+def test_allgather_caption_results_roundtrip_single_process():
+    """Pack/pad/unpack logic of the multi-host eval gather, exercised
+    single-process (process_allgather degenerates to identity): lists must
+    round-trip exactly, including empty hypotheses and ragged references."""
+    from change3d_tpu.train.caption_loop import _allgather_caption_results
+
+    hyps = [[5, 6, 7], [], [9]]
+    refs = [
+        [[5, 6], [7]],
+        [[4, 4, 4, 4, 4]],
+        [[8], [], [6, 5]],
+    ]
+    out_h, out_r = _allgather_caption_results(hyps, refs)
+    assert out_h == hyps
+    assert out_r == refs
