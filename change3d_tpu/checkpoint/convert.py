@@ -199,6 +199,214 @@ def load_x3d_pretrained(path: str, cfg: X3DConfig | None = None):
     return converted
 
 
+# ---------------------------------------------------------------------------
+# Full trained-Trainer conversion (migration of reference-trained models)
+# ---------------------------------------------------------------------------
+
+def _insert(tree: dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_change_decoder_key(rest: str):
+    """`up_cK.0.weight` / `up_cK.1.{weight,bias}` / `up_c1.0.weight` ->
+    (our path, converted array fn). Returns None for unknown keys."""
+    parts = rest.split(".")
+    if parts[0] == "up_c1" and parts[1] == "0" and parts[2] == "weight":
+        # 3x3 head conv, bias-free (ref: change_decoder.py:53-55).
+        return ("final",), lambda a: jnp.asarray(a.transpose(2, 3, 1, 0))
+    if parts[0] in ("up_c4", "up_c3", "up_c2"):
+        block = parts[0]
+        if parts[1] == "0" and parts[2] == "weight":
+            # 1x1 channel-reduce Conv2d (O,I,1,1) -> (1,1,I,O).
+            return (block, "reduce"), lambda a: jnp.asarray(a.transpose(2, 3, 1, 0))
+        if parts[1] == "1" and parts[2] == "weight":
+            # ConvTranspose2d (I,O,kh,kw) -> (kh,kw,I,O), not pre-flipped
+            # (ops.conv_transpose2d flips at apply time; torch parity tested).
+            return (block, "up"), lambda a: jnp.asarray(a.transpose(2, 3, 0, 1))
+        if parts[1] == "1" and parts[2] == "bias":
+            return (block, "up_bias"), lambda a: jnp.asarray(a)
+    return None
+
+
+# Dead submodules of the reference Mesh_TransformerDecoderLayer: declared but
+# never executed by its forward (ref: /root/reference/model/caption_decoder.py:
+# 343-379 declares them, :395-423 uses only self_attn/norm1/multihead_attn2/
+# norm2), so they have no counterpart in the live-path decoder here.
+_DEAD_CC_LAYER_PREFIXES = (
+    "self_attn2.", "multihead_attn3.", "linear1.", "linear2.", "norm3.",
+    "fc_alpha1.", "fc_alpha2.", "fc_alpha3.",
+)
+
+
+def _convert_caption_decoder_key(rest: str):
+    """CaptionDecoder keys -> (our path, convert fn) | 'skip' | None."""
+    if rest == "vocab_embedding.weight":
+        return ("vocab_embedding",), lambda a: jnp.asarray(a)
+    if rest == "wdc.weight":
+        return ("out_w",), lambda a: jnp.asarray(a.T)
+    if rest == "wdc.bias":
+        return ("out_b",), lambda a: jnp.asarray(a)
+    if rest.startswith("position_encoding."):
+        return "skip"  # sinusoidal buffer, recomputed here
+    if rest.startswith("transformer.layers."):
+        parts = rest.split(".", 3)  # transformer, layers, {l}, tail
+        layer, tail = f"layer{parts[2]}", parts[3]
+        if tail.startswith(_DEAD_CC_LAYER_PREFIXES):
+            return "skip"
+        for torch_mod, ours in (("self_attn.", "self_attn"), ("multihead_attn2.", "cross_attn")):
+            if tail.startswith(torch_mod):
+                sub = tail[len(torch_mod):]
+                m = {
+                    "in_proj_weight": ("in_proj_w", lambda a: jnp.asarray(a.T)),
+                    "in_proj_bias": ("in_proj_b", lambda a: jnp.asarray(a)),
+                    "out_proj.weight": ("out_w", lambda a: jnp.asarray(a.T)),
+                    "out_proj.bias": ("out_b", lambda a: jnp.asarray(a)),
+                }.get(sub)
+                return ((layer, ours, m[0]), m[1]) if m else None
+        if tail.startswith("multihead_attn."):  # dead (after attn2 check)
+            return "skip"
+        for norm in ("norm1", "norm2"):
+            if tail == f"{norm}.weight":
+                return (layer, norm, "scale"), lambda a: jnp.asarray(a)
+            if tail == f"{norm}.bias":
+                return (layer, norm, "bias"), lambda a: jnp.asarray(a)
+    return None
+
+
+def _prune_to_template(tree: dict, template) -> dict:
+    """Drop subtrees the template does not materialize (e.g. x3d stage4/head
+    for detection tasks — torch keeps the whole module resident,
+    ref: /root/reference/model/trainer.py:44-48; flax only what runs)."""
+    if not isinstance(template, dict):
+        return tree
+    return {
+        k: _prune_to_template(v, template[k])
+        for k, v in tree.items()
+        if k in template
+    }
+
+
+def convert_trainer_state_dict(
+    state_dict, template_variables: dict, cfg: X3DConfig | None = None, *, strict: bool = True
+) -> dict:
+    """Convert a *trained* reference ``Trainer`` state_dict into a full
+    Change3D variables tree — the migration path for models trained with the
+    reference (its ``best_model.pth`` / ``checkpoint.pth.tar['state_dict']``,
+    ref: /root/reference/scripts/train_BCD.py:333-349).
+
+    ``template_variables`` (from ``model.init``) fixes the target structure:
+    converted backbone subtrees the task never materializes (stage4/head for
+    detection) are pruned, and under ``strict`` every template leaf must be
+    produced with the template's exact shape.
+    """
+    cfg = cfg or x3d_l_config()
+    state = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+
+    backbone_sd = {}
+    params: dict = {}
+    stats: dict = {}
+    unknown = []
+    for key, value in state.items():
+        if key.startswith("encoder.x3d."):
+            backbone_sd[key[len("encoder.x3d."):]] = value
+            continue
+        arr = np.asarray(value, dtype=np.float32)
+        if key == "encoder.perception_frames":
+            # torch [1, 3, N, H, W] -> ours [1, N, H, W, 3].
+            _insert(
+                params, ("encoder", "perception_frames"),
+                jnp.asarray(arr.transpose(0, 2, 3, 4, 1)),
+            )
+            continue
+        if key.startswith("encoder.fc."):
+            parts = key.split(".")  # encoder, fc, {i}, 0, weight
+            if parts[3] == "0" and parts[4] == "weight":
+                # 1x1 bias-free Conv2d (D,D,1,1) -> pointwise [I, O].
+                _insert(
+                    params, ("encoder", f"fc{parts[2]}", "conv"),
+                    jnp.asarray(arr[:, :, 0, 0].T),
+                )
+                continue
+            unknown.append(key)
+            continue
+        head, rest = key.split(".", 1)
+        if head in ("decoder", "decoder_pre", "decoder_post", "decoder_change",
+                    "decoder_cls", "decoder_loc"):
+            conv = _convert_change_decoder_key(rest)
+            if conv is None and head == "decoder":
+                conv = _convert_caption_decoder_key(rest)
+            if conv == "skip":
+                continue
+            if conv is not None:
+                path, fn = conv
+                _insert(params, (head,) + tuple(path), fn(arr))
+                continue
+        unknown.append(key)
+
+    backbone = convert_x3d_state_dict(backbone_sd, cfg, strict=strict)
+    if cfg.scan_blocks:
+        backbone = {
+            "params": pack_scanned_stages(backbone["params"], cfg),
+            "batch_stats": pack_scanned_stages(backbone["batch_stats"], cfg),
+        }
+    params.setdefault("encoder", {})["x3d"] = backbone["params"]
+    stats = {"encoder": {"x3d": backbone["batch_stats"]}}
+
+    t_params = template_variables["params"]
+    t_stats = template_variables.get("batch_stats", {})
+    params = _prune_to_template(params, t_params)
+    stats = _prune_to_template(stats, t_stats)
+
+    if strict:
+        if unknown:
+            raise ValueError(
+                f"{len(unknown)} unmapped trainer keys, e.g. {unknown[:5]}"
+            )
+
+        def check(tmpl, got, where):
+            t_leaves = {p: l for p, l in _flatten(tmpl)}
+            g_leaves = {p: l for p, l in _flatten(got)}
+            missing = sorted(set(t_leaves) - set(g_leaves))
+            if missing:
+                raise ValueError(f"{where}: missing {len(missing)} leaves, e.g. {missing[:5]}")
+            for p, l in t_leaves.items():
+                if tuple(g_leaves[p].shape) != tuple(l.shape):
+                    raise ValueError(
+                        f"{where}: shape mismatch at {p}: "
+                        f"{g_leaves[p].shape} vs template {l.shape}"
+                    )
+
+        def _flatten(tree, prefix=()):
+            out = []
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    out += _flatten(v, prefix + (k,))
+            else:
+                out.append(("/".join(prefix), tree))
+            return out
+
+        check(t_params, params, "params")
+        check(t_stats, stats, "batch_stats")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_trainer_pretrained(path: str, template_variables: dict, cfg: X3DConfig | None = None):
+    """Read a reference-trained checkpoint (``best_model.pth`` weights-only
+    state_dict, or ``checkpoint.pth.tar`` with a 'state_dict' entry) and
+    convert it into Change3D variables."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return convert_trainer_state_dict(state, template_variables, cfg)
+
+
 def merge_backbone_variables(variables: dict, backbone: dict, *, drop_head: bool = True) -> dict:
     """Insert converted backbone {'params','batch_stats'} under
     encoder/x3d in a full Change3D variable tree (pure function).

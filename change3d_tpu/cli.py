@@ -158,6 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--embed_dim", type=int, default=192)
     pred.add_argument("--n_head", type=int, default=8)
     pred.add_argument("--n_layer", type=int, default=3)
+    pred.add_argument("--platform", default=None, choices=["cpu"],
+                      help="force a JAX platform (e.g. cpu when no TPU link)")
 
     exp = sub.add_parser(
         "export",
@@ -239,6 +241,26 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--n_layer", type=int, default=3)
     ev.add_argument("--save_json", action="store_true",
                     help="CC: also write res.json/gts.json under the run dir")
+    ev.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force a JAX platform (e.g. cpu when no TPU link)")
+
+    cr = sub.add_parser(
+        "convert-reference",
+        help="migrate a model TRAINED with the reference: convert its "
+        "best_model.pth / checkpoint.pth.tar into an orbax best/ dir that "
+        "eval, predict and export consume directly",
+    )
+    cr.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
+    cr.add_argument("--torch_checkpoint", required=True,
+                    help="best_model.pth (weights-only) or checkpoint.pth.tar")
+    cr.add_argument("--out", required=True,
+                    help="run dir to create ({out}/best/ is written)")
+    cr.add_argument("--num_class", type=int, default=None,
+                    help="inferred from the checkpoint when omitted")
+    cr.add_argument("--in_height", type=int, default=256)
+    cr.add_argument("--in_width", type=int, default=256)
+    cr.add_argument("--n_head", type=int, default=8,
+                    help="CC only; not recoverable from the weights")
 
     vc = sub.add_parser(
         "verify-checkpoint",
@@ -334,6 +356,65 @@ def run_eval(args) -> int:
     else:
         for k, v in scores.items():
             print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    return 0
+
+
+def run_convert_reference(args) -> int:
+    """Convert a reference-trained Trainer checkpoint into an orbax best/
+    dir. Task geometry (num_class, vocab/embed/n_layer for CC) is inferred
+    from the weights themselves where possible."""
+    import torch
+
+    import jax
+
+    # Conversion is host-only work (the template comes from eval_shape, no
+    # forward runs): pin the CPU platform so it never waits on a TPU tunnel.
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from change3d_tpu.checkpoint.convert import convert_trainer_state_dict
+    from change3d_tpu.checkpoint.orbax_io import CheckpointManager
+    from change3d_tpu.models.trainer import Change3D, Task
+
+    ckpt = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    state = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in state.items()}
+
+    kw = {}
+    num_class = args.num_class
+    if args.model_task == "cc":
+        vocab, embed = state["decoder.vocab_embedding.weight"].shape
+        n_layer = 1 + max(
+            int(k.split(".")[2]) for k in state if k.startswith("decoder.transformer.layers.")
+        )
+        kw = dict(vocab_size=vocab, embed_dim=embed, num_heads=args.n_head, num_layers=n_layer)
+        num_class = 1
+        print(f"inferred: vocab_size={vocab} embed_dim={embed} n_layer={n_layer}")
+    elif num_class is None:
+        probe = {"bcd": "decoder", "scd": "decoder_pre", "bda": "decoder_cls"}[args.model_task]
+        num_class = state[f"{probe}.up_c1.0.weight"].shape[0]
+        print(f"inferred: num_class={num_class}")
+
+    model = Change3D(
+        task=Task(args.model_task), num_classes=num_class,
+        in_height=args.in_height, in_width=args.in_width, **kw,
+    )
+    sample = jnp.zeros((1, args.in_height, args.in_width, 3), jnp.float32)
+    init_kw = {"captions": jnp.zeros((1, 4), jnp.int32)} if args.model_task == "cc" else {}
+    # Structure/shapes only — eval_shape traces init without running the
+    # (expensive, device-touching) full-resolution forward.
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), sample, sample, **init_kw)
+    )
+    variables = convert_trainer_state_dict(
+        state,
+        {"params": template["params"], "batch_stats": template.get("batch_stats", {})},
+    )
+    CheckpointManager(args.out).save_best(variables)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"converted {n:,} params -> {args.out}/best (use with "
+          f"'eval/predict/export --checkpoint {args.out}')")
     return 0
 
 
@@ -556,6 +637,8 @@ def main(argv=None):
         return run_info(args)
     elif args.task == "eval":
         return run_eval(args)
+    elif args.task == "convert-reference":
+        return run_convert_reference(args)
     elif args.task == "verify-checkpoint":
         return run_verify_checkpoint(args)
 
