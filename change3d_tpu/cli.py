@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--n_layer", type=int, default=3)
     pred.add_argument("--platform", default=None, choices=["cpu"],
                       help="force a JAX platform (e.g. cpu when no TPU link)")
+    pred.add_argument("--tiled", action="store_true",
+                      help="full-scene mode: slide the model's fixed window "
+                      "over native-resolution images and blend overlaps "
+                      "(detection tasks only)")
+    pred.add_argument("--tile_overlap", type=int, default=32,
+                      help="overlap in px between adjacent tiles (--tiled)")
 
     exp = sub.add_parser(
         "export",
@@ -532,14 +538,19 @@ def run_predict_captions(args):
 
 
 def run_predict(args):
-    """Write per-image prediction masks (PNG) for every pair in a split."""
+    """Write per-image prediction masks (PNG) for every pair in a split.
+
+    ``--tiled`` switches to full-scene mode: images are consumed at native
+    resolution, slid under the model's (in_height, in_width) window with
+    ``--tile_overlap``, and the soft maps are cosine-blended before
+    thresholding — scenes of any size, one compiled forward."""
     import cv2
     import numpy as np
 
     from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
     from change3d_tpu.data.pipeline import DataLoader, pair_collate
     from change3d_tpu.data.transforms import make_transform_pipelines
-    from change3d_tpu.inference import Predictor
+    from change3d_tpu.inference import Predictor, TiledPredictor
     from change3d_tpu.train.loop import build_model, RunConfig
 
     cfg = RunConfig(
@@ -549,11 +560,41 @@ def run_predict(args):
     model = build_model(cfg)
     predictor = Predictor.from_checkpoint(model, args.checkpoint)
     ds_cls = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}[args.model_task]
+    os.makedirs(args.out, exist_ok=True)
+
+    def write_one(name: str, out) -> None:
+        """out: hardened per-image maps [H, W] / [H, W] int."""
+        if args.model_task == "bcd":
+            cv2.imwrite(os.path.join(args.out, f"{name}.png"), out["change"].astype(np.uint8) * 255)
+        elif args.model_task == "scd":
+            change = out["change"]
+            cv2.imwrite(os.path.join(args.out, f"{name}_pre.png"), (out["pre"] * change).astype(np.uint8))
+            cv2.imwrite(os.path.join(args.out, f"{name}_post.png"), (out["post"] * change).astype(np.uint8))
+            cv2.imwrite(os.path.join(args.out, f"{name}_change.png"), change.astype(np.uint8) * 255)
+        else:
+            cv2.imwrite(os.path.join(args.out, f"{name}_loc.png"), out["loc"].astype(np.uint8) * 255)
+            cv2.imwrite(os.path.join(args.out, f"{name}_cls.png"), out["cls"].astype(np.uint8))
+
+    if args.tiled:
+        ds = ds_cls(args.file_root, args.split, None)  # native scene sizes
+        names = [os.path.basename(p) for p in ds.pre_images]
+        tiled = TiledPredictor(
+            predictor, overlap=args.tile_overlap, batch_size=args.batch_size
+        )
+        for idx, name in enumerate(names):
+            img, _ = ds[idx]
+            # Same normalization as the eval transform (/255, mean .5, std .5)
+            # without its resize — tiling replaces it.
+            img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+            out = tiled.predict_scene(img[..., :3], img[..., 3:])
+            write_one(os.path.splitext(name)[0], out)
+        print(f"wrote {len(names)} scene predictions to {args.out}")
+        return
+
     _, eval_tf = make_transform_pipelines(args.model_task, args.in_width, args.in_height)
     ds = ds_cls(args.file_root, args.split, eval_tf)
     names = [os.path.basename(p) for p in ds.pre_images]
     loader = DataLoader(ds, args.batch_size, num_workers=2, collate=pair_collate, pad_final=True)
-    os.makedirs(args.out, exist_ok=True)
     idx = 0
     for batch in loader:
         valid = batch.pop("valid")
@@ -561,17 +602,10 @@ def run_predict(args):
         for i in range(len(valid)):
             if not valid[i]:
                 continue
-            name = os.path.splitext(names[idx])[0]
-            if args.model_task == "bcd":
-                cv2.imwrite(os.path.join(args.out, f"{name}.png"), out["change"][i].astype(np.uint8) * 255)
-            elif args.model_task == "scd":
-                change = out["change"][i]
-                cv2.imwrite(os.path.join(args.out, f"{name}_pre.png"), (out["pre"][i] * change).astype(np.uint8))
-                cv2.imwrite(os.path.join(args.out, f"{name}_post.png"), (out["post"][i] * change).astype(np.uint8))
-                cv2.imwrite(os.path.join(args.out, f"{name}_change.png"), change.astype(np.uint8) * 255)
-            else:
-                cv2.imwrite(os.path.join(args.out, f"{name}_loc.png"), out["loc"][i].astype(np.uint8) * 255)
-                cv2.imwrite(os.path.join(args.out, f"{name}_cls.png"), out["cls"][i].astype(np.uint8))
+            write_one(
+                os.path.splitext(names[idx])[0],
+                {k: v[i] for k, v in out.items()},
+            )
             idx += 1
     print(f"wrote {idx} predictions to {args.out}")
 

@@ -78,14 +78,27 @@ class Predictor:
     def from_checkpoint(cls, model: Change3D, save_path: str, **kw) -> "Predictor":
         return cls(model, restore_best_variables(model, save_path), **kw)
 
-    def predict(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
-        """pre/post: [B,H,W,3] normalized float images. Returns per-task masks:
-        BCD: {'change': bool mask}; SCD: {'pre','post': class ids, 'change'};
-        BDA: {'cls': class ids, 'loc': bool mask}."""
+    def predict_probs(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """Soft per-task maps: binary heads as sigmoid probabilities
+        [B,h,w,1], class heads as softmax probabilities [B,h,w,C]. The
+        blendable form tiled inference averages over overlaps."""
         out = self._forward(self.variables, jnp.asarray(pre), jnp.asarray(post))
         result = {}
         for key, val in out.items():
             val = np.asarray(val.astype(jnp.float32))
+            if key in ("pre", "post", "cls"):
+                e = np.exp(val - val.max(-1, keepdims=True))
+                val = e / e.sum(-1, keepdims=True)
+            result[key] = val
+        return result
+
+    @staticmethod
+    def harden(probs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Soft maps -> decisions: binary heads thresholded at 0.5, class
+        heads argmaxed (same decisions as thresholding/argmaxing the raw
+        model outputs — sigmoid/softmax are monotone)."""
+        result = {}
+        for key, val in probs.items():
             if key in ("change", "loc"):
                 result[key] = val[..., 0] > 0.5
             elif key in ("pre", "post", "cls"):
@@ -93,6 +106,71 @@ class Predictor:
             else:
                 result[key] = val
         return result
+
+    def predict(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """pre/post: [B,H,W,3] normalized float images. Returns per-task masks:
+        BCD: {'change': bool mask}; SCD: {'pre','post': class ids, 'change'};
+        BDA: {'cls': class ids, 'loc': bool mask}."""
+        return self.harden(self.predict_probs(pre, post))
+
+
+class TiledPredictor:
+    """Full-scene inference for scenes larger than the model's patch size.
+
+    Slides the model's fixed (in_height, in_width) window over the scene
+    with ``overlap``, runs the tiles through the wrapped :class:`Predictor`
+    in fixed-size batches (one compiled forward, static shapes, reused for
+    every scene), cosine-blends the soft maps over the overlaps and hardens
+    once at the end — so seams average in probability space rather than
+    flickering between per-tile decisions.
+
+    The reference has no scene-level path at all (it evaluates on pre-cropped
+    256x256 patches only, ref: /root/reference/README.md:76 "crop each image
+    into 256x256 patches").
+    """
+
+    def __init__(self, predictor: Predictor, *, overlap: int = 32, batch_size: int = 16):
+        if overlap < 0 or overlap >= min(predictor.model.in_height, predictor.model.in_width):
+            raise ValueError(f"overlap {overlap} must be in [0, tile size)")
+        self.predictor = predictor
+        self.overlap = overlap
+        self.batch_size = batch_size
+
+    def predict_scene_probs(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """pre/post: one [H, W, 3] normalized float scene, any size.
+        Returns blended soft maps at scene resolution."""
+        from change3d_tpu.utils.tiling import tile_scene, untile_scene
+
+        th = self.predictor.model.in_height
+        tw = self.predictor.model.in_width
+        pre_t, offsets = tile_scene(np.asarray(pre, np.float32), th, tw, self.overlap)
+        post_t, _ = tile_scene(np.asarray(post, np.float32), th, tw, self.overlap)
+
+        n = len(offsets)
+        b = self.batch_size
+        pad = (-n) % b
+        if pad:
+            pre_t = np.concatenate([pre_t, np.repeat(pre_t[-1:], pad, axis=0)])
+            post_t = np.concatenate([post_t, np.repeat(post_t[-1:], pad, axis=0)])
+
+        chunks: Dict[str, list] = {}
+        for i in range(0, len(pre_t), b):
+            probs = self.predictor.predict_probs(pre_t[i : i + b], post_t[i : i + b])
+            for key, val in probs.items():
+                chunks.setdefault(key, []).append(val)
+
+        h, w = pre.shape[:2]
+        return {
+            key: untile_scene(
+                np.concatenate(vals)[:n], offsets, h, w, self.overlap
+            )
+            for key, vals in chunks.items()
+        }
+
+    def predict_scene(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """Hardened scene-resolution masks (same decision rules as
+        :meth:`Predictor.predict`, shapes [H, W] / [H, W] int)."""
+        return Predictor.harden(self.predict_scene_probs(pre, post))
 
 
 class CaptionPredictor(Predictor):
