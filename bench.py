@@ -26,7 +26,47 @@ BASELINE_PAIRS_PER_SEC = 1.0 / 0.015
 ITERS = 20
 
 
+def probe_backend(timeout_s: float = 180.0) -> str:
+    """Initialize the JAX backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel has been observed to stall for hours inside
+    ``jax.devices()`` (relay outage, 2026-08-17). The driver runs this
+    bench unattended at round end — a clean machine-readable failure line
+    beats an indefinite hang. Returns '' when healthy, else the reason.
+    """
+    import subprocess
+
+    try:
+        # The axon plugin re-asserts its platform over the env var, so honor
+        # JAX_PLATFORMS the way tests/conftest.py does: via jax.config.
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import os, jax\n"
+             "p = os.environ.get('JAX_PLATFORMS')\n"
+             "if p: jax.config.update('jax_platforms', p)\n"
+             "jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init exceeded {timeout_s:.0f}s (relay stall)"
+    if r.returncode != 0:
+        return f"backend init failed rc={r.returncode}: {r.stderr.strip()[-200:]}"
+    return ""
+
+
 def main():
+    err = probe_backend()
+    if err:
+        print(json.dumps({
+            "metric": "bcd_eval_pairs_per_sec_256",
+            "value": 0.0,
+            "unit": "pairs/sec",
+            "vs_baseline": 0.0,
+            "error": err + " — committed floor is 645 pairs/s, pinned 673.3 "
+                     "(tests/manual_bench_floor.py); re-run when the TPU "
+                     "link is healthy",
+        }))
+        return
     import jax
     import jax.numpy as jnp
 

@@ -32,6 +32,19 @@ STEPS = 20
 
 
 def main():
+    from bench import probe_backend
+
+    err = probe_backend()
+    if err:
+        print(json.dumps({
+            "metric": "bcd_train_samples_per_sec_256",
+            "value": 0.0,
+            "unit": "samples/sec",
+            "error": err + " — committed floor is 90 samples/s "
+                     "(tests/manual_bench_floor.py); re-run when the TPU "
+                     "link is healthy",
+        }))
+        return
     import jax
     import jax.numpy as jnp
 
