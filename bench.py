@@ -110,11 +110,14 @@ def main():
     # - "embed": close over the weights at jit time (serving mode) so the BN
     #   scale/shift vectors become compile-time constants XLA can fold into
     #   neighboring work instead of runtime parameters.
+    # - "int8": dynamic int8 quantization of the MXU convs (ops/quant.py) —
+    #   approximate numerics, serving path.
     flags = set(sys.argv[3:])
     fused = "fused" in flags
     embed = "embed" in flags
     backbone = dataclasses.replace(
-        x3d_l_config(), packed_eval_stages=stages, fused_inference=fused
+        x3d_l_config(), packed_eval_stages=stages, fused_inference=fused,
+        quantized_eval="int8" in flags,
     )
     model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
     rng = jax.random.PRNGKey(0)

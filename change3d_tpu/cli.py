@@ -166,6 +166,9 @@ def build_parser() -> argparse.ArgumentParser:
                       "(detection tasks only)")
     pred.add_argument("--tile_overlap", type=int, default=32,
                       help="overlap in px between adjacent tiles (--tiled)")
+    pred.add_argument("--quantized", action="store_true",
+                      help="dynamic int8 MXU convs (serving-grade "
+                      "approximate numerics; detection tasks)")
 
     exp = sub.add_parser(
         "export",
@@ -183,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--platforms", default="cpu,tpu")
     exp.add_argument("--batch", type=int, default=None,
                      help="pin the batch dim (default: symbolic, any batch)")
+    exp.add_argument("--quantized", action="store_true",
+                     help="bake dynamic int8 MXU convs into the artifact "
+                     "(detection tasks)")
+    exp.add_argument("--platform", default=None, choices=["cpu"],
+                     help="force the SESSION's JAX platform (export only "
+                     "lowers, any platform can emit any --platforms targets; "
+                     "use cpu when no TPU link)")
     # cc-only export flags
     exp.add_argument("--file_root", default=None, help="(cc) dataset root for the word map")
     exp.add_argument("--dataset", default="LEVIR_CC_5_cap_per_img_5_min_word_freq")
@@ -238,6 +248,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     ev.add_argument("--packed", action=argparse.BooleanOptionalAction, default=False)
     ev.add_argument("--fused", action="store_true")
+    ev.add_argument("--quantized", action="store_true",
+                    help="dynamic int8 MXU convs (serving-grade approximate "
+                    "numerics; see ops/quant.py)")
     ev.add_argument("--json", action="store_true", help="emit scores as JSON")
     # CC-specific
     ev.add_argument("--word_map", default=None)
@@ -352,6 +365,7 @@ def run_eval(args) -> int:
             compute_dtype=args.compute_dtype,
             packed=args.packed,
             fused=args.fused,
+            quantized=args.quantized,
         )
         scores = run_detection_eval(
             cfg, run_dir=args.checkpoint, split=args.split or "test",
@@ -486,6 +500,7 @@ def run_export(args):
         cfg = RunConfig(
             task=args.model_task, num_classes=args.num_class,
             in_height=args.in_height, in_width=args.in_width,
+            quantized=args.quantized,
         )
         model = build_model(cfg)
         blob = export_from_checkpoint(
@@ -556,6 +571,7 @@ def run_predict(args):
     cfg = RunConfig(
         task=args.model_task, num_classes=args.num_class,
         in_height=args.in_height, in_width=args.in_width,
+        quantized=args.quantized,
     )
     model = build_model(cfg)
     predictor = Predictor.from_checkpoint(model, args.checkpoint)

@@ -111,6 +111,12 @@ class X3DConfig:
     # expansions are differentiable and BatchNorm supports packed per-c batch
     # statistics (packed_t), so math and variables are identical.
     packed_train: bool = False
+    # Eval-time dynamic int8 quantization of the MXU-shaped convs (pointwise
+    # 1x1x1 + the packed dense banded convs): per-output-channel weight
+    # scales, per-sample activation scales computed on the fly (ops/quant.py).
+    # Same parameter tree (weights quantize at trace time); inference only.
+    # Takes precedence over fused_inference on eligible blocks.
+    quantized_eval: bool = False
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -272,6 +278,7 @@ class X3DBottleneck(nn.Module):
     se_reduced_dim: int  # 0 disables SE
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    quantized: bool = False  # int8 MXU convs at eval (ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -297,10 +304,16 @@ class X3DBottleneck(nn.Module):
 
             t = packed_t
             s = self.stride[1]
-            h = pk.conv2d_packed(x, pk.expand_pointwise(conv_a, t))
+            if self.quantized and not train:
+                from change3d_tpu.ops import quant
+
+                conv2d_p = quant.conv2d_int8
+            else:
+                conv2d_p = pk.conv2d_packed
+            h = conv2d_p(x, pk.expand_pointwise(conv_a, t))
             h = jax.nn.relu(bn("bn_a")(h, use_running_average=not train, packed_t=t))
             conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
-            h = pk.conv2d_packed(h, pk.expand_depthwise(conv_b[:, :, :, 0, :], t), stride=s, padding=1)
+            h = conv2d_p(h, pk.expand_depthwise(conv_b[:, :, :, 0, :], t), stride=s, padding=1)
             h = bn("bn_b")(h, use_running_average=not train, packed_t=t)
             if self.se_reduced_dim > 0:
                 w_r, b_r, w_e, b_e = SqueezeExcite(
@@ -309,7 +322,7 @@ class X3DBottleneck(nn.Module):
                 h = pk.se_packed(h, w_r, b_r, w_e, b_e, t)
             h = swish(h)
             conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-            h = pk.conv2d_packed(h, pk.expand_pointwise(conv_c, t))
+            h = conv2d_p(h, pk.expand_pointwise(conv_c, t))
             return bn("bn_c")(h, use_running_average=not train, packed_t=t)
 
         if fused_residual:
@@ -336,7 +349,13 @@ class X3DBottleneck(nn.Module):
                 return fused_bottleneck_block_htiled(*args, h_tile=16)
             return fused_bottleneck_block(*args)
 
-        x = pointwise_conv3d(x, conv_a)
+        if self.quantized and not train:
+            from change3d_tpu.ops import quant
+
+            pw = quant.pointwise_conv3d_int8
+        else:
+            pw = pointwise_conv3d
+        x = pw(x, conv_a)
         x = jax.nn.relu(bn("bn_a")(x, use_running_average=not train))
 
         conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
@@ -347,7 +366,7 @@ class X3DBottleneck(nn.Module):
         x = swish(x)
 
         conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-        x = pointwise_conv3d(x, conv_c)
+        x = pw(x, conv_c)
         return bn("bn_c")(x, use_running_average=not train)
 
 
@@ -368,6 +387,7 @@ class X3DResBlock(nn.Module):
     bn_eps: float = 1e-5
     fused_inference: bool = False
     fused_htiled: bool = False
+    quantized: bool = False
 
     # Per-sample VMEM budget for the fused kernel's padded inner tensor (f32).
     # 6 MB admits stage 3 at 256^2 inputs ((3+2)*34*34*216*4 = 4.99 MB), which
@@ -376,7 +396,7 @@ class X3DResBlock(nn.Module):
     _FUSED_VMEM_LIMIT = 6 * 1024 * 1024
 
     def _fuse_mode(self, x, train: bool):
-        if not self.fused_inference or train:
+        if not self.fused_inference or train or self.quantized:
             return None
         if self.dim_in != self.dim_out or any(s > 1 for s in self.stride):
             return None
@@ -396,7 +416,7 @@ class X3DResBlock(nn.Module):
                 return X3DBottleneck(
                     self.dim_in, self.dim_inner, self.dim_out, self.stride,
                     self.se_reduced_dim, self.bn_momentum, self.bn_eps,
-                    name="bottleneck",
+                    quantized=self.quantized, name="bottleneck",
                 )(x, train=False, fused_residual=mode)
         needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
         shortcut = x
@@ -426,6 +446,7 @@ class X3DResBlock(nn.Module):
             self.se_reduced_dim,
             self.bn_momentum,
             self.bn_eps,
+            quantized=self.quantized,
             name="bottleneck",
         )(x, train=train, packed_t=packed_t)
         return jax.nn.relu(shortcut + branch)
@@ -444,6 +465,7 @@ class BlockPair(nn.Module):
     fused_inference: bool = False
     fused_htiled: bool = False
     packed_t: int = 0
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -452,6 +474,7 @@ class BlockPair(nn.Module):
             stride=(1, 1, 1), bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
             fused_inference=self.fused_inference,
             fused_htiled=self.fused_htiled,
+            quantized=self.quantized,
         )
         x = X3DResBlock(se_reduced_dim=0, name="a", **common)(
             x, train=self.train, packed_t=self.packed_t
@@ -517,6 +540,7 @@ class X3DStage(nn.Module):
                 bn_eps=cfg.bn_eps,
                 fused_inference=cfg.fused_inference,
                 fused_htiled=cfg.fused_htiled,
+                quantized=cfg.quantized_eval,
                 name=f"block{b}",
             )
 
@@ -541,6 +565,7 @@ class X3DStage(nn.Module):
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
                 cfg.fused_inference, cfg.fused_htiled, packed_t,
+                cfg.quantized_eval,
                 name="pairs",
             )
             x, _ = scanned(x, None)

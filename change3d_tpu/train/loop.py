@@ -82,6 +82,10 @@ class RunConfig:
     # stage 1. Off by default for reference-exact eval numerics (differences
     # are bf16-rounding level, equality-tested to atol 2e-2 on bf16).
     fused: bool = False
+    # Dynamic int8 quantization of the MXU convs at eval time (ops/quant.py).
+    # Off by default: approximate numerics (decision-agreement tested); for
+    # serving-throughput use via predict/eval/export and bench A/B.
+    quantized: bool = False
     # Write a jax.profiler trace of training steps 10-14 (first epoch) here
     # for XProf/TensorBoard kernel-level timing. None = off.
     profile_dir: Optional[str] = None
@@ -105,13 +109,14 @@ def build_model(cfg: RunConfig) -> Change3D:
     from change3d_tpu.models.x3d import x3d_l_config
 
     backbone = None
-    if cfg.remat or cfg.packed or cfg.fused:
+    if cfg.remat or cfg.packed or cfg.fused or cfg.quantized:
         backbone = _dc.replace(
             x3d_l_config(),
             remat=cfg.remat,
             packed_eval_stages=(0,) if cfg.packed else (),
             packed_train=cfg.packed,
             fused_inference=cfg.fused,
+            quantized_eval=cfg.quantized,
         )
     return Change3D(
         task=Task(cfg.task),

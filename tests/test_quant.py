@@ -1,0 +1,181 @@
+"""Dynamic int8 quantization (ops/quant.py) and its model integration.
+
+The reference has no quantized inference (stock fp32 torch ops,
+ref: /root/reference/model/x3d.py:109-232); this is the serving-oriented
+int8 path behind X3DConfig(quantized_eval) / cli --quantized.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.models.x3d import X3DConfig
+from change3d_tpu.ops.layers import pointwise_conv3d
+from change3d_tpu.ops.packed import conv2d_packed
+from change3d_tpu.ops.quant import (
+    conv2d_int8,
+    pointwise_conv3d_int8,
+    quantize_act,
+    quantize_weight,
+)
+
+TINY_CFG = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(1, 1, 2, 1),
+    head_dim_out=64,
+    num_classes=10,
+)
+
+
+# ---------------------------------------------------------------------------
+# op-level
+# ---------------------------------------------------------------------------
+
+def test_quantize_weight_roundtrip_bound():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * rng.rand(32))
+    q, scale = quantize_weight(w, channel_axis=3)
+    assert q.dtype == jnp.int8 and scale.shape == (1, 1, 1, 32)
+    deq = q.astype(jnp.float32) * scale
+    # Symmetric round-to-nearest: error <= scale/2 everywhere, per channel.
+    assert (jnp.abs(deq - w) <= scale / 2 + 1e-7).all()
+    # Scales track each channel's own max, not the global one.
+    per_ch_max = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    np.testing.assert_allclose(scale[0, 0, 0], per_ch_max / 127.0, rtol=1e-6)
+
+
+def test_quantize_act_per_sample():
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 5, 6, 7, 8).astype(np.float32)
+    x[2] *= 100.0  # one huge sample must not wreck its neighbors' resolution
+    q, scale = quantize_act(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and scale.shape == (4, 1, 1, 1, 1)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    for b in range(4):
+        np.testing.assert_allclose(
+            deq[b], x[b], atol=np.asarray(scale)[b].item() / 2 + 1e-7
+        )
+    # Zero tensors are safe (no division by zero, exact zeros back).
+    q0, s0 = quantize_act(jnp.zeros((2, 3, 3, 4)))
+    assert (np.asarray(q0) == 0).all() and np.isfinite(np.asarray(s0)).all()
+
+
+def _rel_err(got, ref):
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    return np.abs(got - ref).max() / denom, np.abs(got - ref).mean() / denom
+
+
+def test_pointwise_int8_matches_fp32():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 3, 8, 8, 24).astype(np.float32))
+    w = jnp.asarray(rng.randn(24, 48).astype(np.float32) * rng.rand(48))
+    ref = pointwise_conv3d(x, w)
+    got = pointwise_conv3d_int8(x, w)
+    assert got.dtype == x.dtype and got.shape == ref.shape
+    mx, mean = _rel_err(got, ref)
+    assert mx < 0.05 and mean < 0.01, (mx, mean)
+
+
+def test_conv2d_int8_matches_fp32():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 24).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 24, 24).astype(np.float32))
+    for stride, padding in ((1, 1), (2, 1)):
+        ref = conv2d_packed(x, w, stride=stride, padding=padding)
+        got = conv2d_int8(x, w, stride=stride, padding=padding)
+        assert got.shape == ref.shape
+        mx, mean = _rel_err(got, ref)
+        assert mx < 0.05 and mean < 0.01, (stride, mx, mean)
+
+
+def test_int8_ops_preserve_bf16_dtype():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 2, 4, 4, 8), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    assert pointwise_conv3d_int8(x, w).dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# model-level
+# ---------------------------------------------------------------------------
+
+def _bcd_forward(backbone_cfg, variables, pre, post):
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=backbone_cfg)
+    out = model.apply(variables, pre, post, train=False)["change"]
+    return jax.nn.sigmoid(np.asarray(out.astype(jnp.float32)))
+
+
+@pytest.mark.parametrize("packed", [(), (0,)], ids=["standard", "packed"])
+def test_quantized_model_agrees_with_fp32(packed):
+    """Same variables, quantized_eval on/off: probability maps stay close and
+    confident decisions agree (the parameter tree is untouched — quantization
+    happens at trace time)."""
+    base = dataclasses.replace(TINY_CFG, packed_eval_stages=packed)
+    quant = dataclasses.replace(base, quantized_eval=True)
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=base)
+    rng = np.random.RandomState(5)
+    pre = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    post = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pre, post)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    p_fp32 = _bcd_forward(base, variables, pre, post)
+    p_int8 = _bcd_forward(quant, variables, pre, post)
+
+    assert np.abs(p_int8 - p_fp32).max() < 0.1
+    confident = np.abs(p_fp32 - 0.5) > 0.05
+    agree = (p_int8 > 0.5) == (p_fp32 > 0.5)
+    assert agree[confident].mean() > 0.995
+
+
+def test_quantized_param_tree_identical():
+    """quantized_eval must not change the variable tree (same checkpoints)."""
+    base = TINY_CFG
+    quant = dataclasses.replace(TINY_CFG, quantized_eval=True)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v_base = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                      backbone_cfg=base).init(jax.random.PRNGKey(0), x, x)
+    v_quant = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                       backbone_cfg=quant).init(jax.random.PRNGKey(0), x, x)
+    base_shapes = jax.tree.map(lambda a: a.shape, v_base)
+    quant_shapes = jax.tree.map(lambda a: a.shape, v_quant)
+    assert base_shapes == quant_shapes
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_base["params"], v_quant["params"],
+    )
+
+
+def test_quantized_ignored_at_train_time():
+    """train=True must take the exact fp32 path even with quantized_eval on
+    (training numerics are reference-pinned)."""
+    base = TINY_CFG
+    quant = dataclasses.replace(TINY_CFG, quantized_eval=True)
+    rng = np.random.RandomState(6)
+    pre = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    post = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def train_out(cfg):
+        model = Change3D(task=Task.BCD, num_classes=1, in_height=32,
+                         in_width=32, backbone_cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), pre, post)
+        out, _ = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            pre, post, train=True, mutable=["batch_stats"],
+        )
+        return np.asarray(out["change"].astype(jnp.float32))
+
+    np.testing.assert_array_equal(train_out(base), train_out(quant))
