@@ -202,6 +202,36 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--n_head", type=int, default=8)
     exp.add_argument("--n_layer", type=int, default=3)
 
+    srv = sub.add_parser(
+        "serve",
+        help="HTTP batching prediction service for a trained detection run "
+        "or an exported artifact (POST /v1/predict, GET /healthz)",
+    )
+    srv.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    src = srv.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="experiment dir containing best/")
+    src.add_argument("--artifact", help="exported StableHLO artifact (cli export)")
+    srv.add_argument("--num_class", type=int, default=1)
+    srv.add_argument("--in_height", type=int, default=256)
+    srv.add_argument("--in_width", type=int, default=256)
+    srv.add_argument("--batch_size", type=int, default=16,
+                     help="device batch: requests are gathered and padded "
+                     "to exactly this (one compiled shape)")
+    srv.add_argument("--max_delay_ms", type=float, default=10.0,
+                     help="max wait for batch stragglers after the first "
+                     "request arrives")
+    srv.add_argument("--host", default="0.0.0.0")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.add_argument("--tiled", action="store_true",
+                     help="serve native-resolution scenes (sliding window + "
+                     "blend; per-request, no cross-request batching)")
+    srv.add_argument("--tile_overlap", type=int, default=32)
+    srv.add_argument("--packed", action=argparse.BooleanOptionalAction, default=False)
+    srv.add_argument("--fused", action="store_true")
+    srv.add_argument("--quantized", action="store_true")
+    srv.add_argument("--platform", default=None, choices=["cpu"],
+                     help="force a JAX platform (e.g. cpu when no TPU link)")
+
     info = sub.add_parser(
         "info",
         help="report parameter counts and XLA-measured FLOPs for a task "
@@ -509,6 +539,34 @@ def run_export(args):
     print(f"exported {len(blob)} bytes to {args.out}")
 
 
+def run_serve(args):
+    """Start the HTTP batching prediction service (change3d_tpu/serving.py)."""
+    from change3d_tpu.serving import PredictService, serve_forever
+
+    if args.artifact:
+        from change3d_tpu.inference import ArtifactPredictor
+
+        predictor = ArtifactPredictor(args.artifact)
+    else:
+        from change3d_tpu.inference import Predictor
+        from change3d_tpu.train.loop import build_model, RunConfig
+
+        cfg = RunConfig(
+            task=args.model_task, num_classes=args.num_class,
+            in_height=args.in_height, in_width=args.in_width,
+            packed=args.packed, fused=args.fused, quantized=args.quantized,
+        )
+        predictor = Predictor.from_checkpoint(
+            build_model(cfg), args.checkpoint, embed_weights=True
+        )
+    service = PredictService(
+        args.model_task, predictor,
+        batch_size=args.batch_size, max_delay_ms=args.max_delay_ms,
+        tiled=args.tiled, tile_overlap=args.tile_overlap,
+    )
+    serve_forever(service, args.host, args.port)
+
+
 def run_predict_captions(args):
     """Decode captions for every image pair in a caption split and write
     ``captions.json`` (one entry per image: {"image_id", "caption"})."""
@@ -683,6 +741,8 @@ def main(argv=None):
         return run_predict(args)
     elif args.task == "export":
         return run_export(args)
+    elif args.task == "serve":
+        return run_serve(args)
     elif args.task == "info":
         return run_info(args)
     elif args.task == "eval":

@@ -81,6 +81,8 @@ def load_exported(path_or_bytes) -> Callable:
     def fn(pre, post):
         return exported.call(jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32))
 
+    # Input geometry for wrappers (serving): (batch|symbol, H, W, 3).
+    fn.input_shape = tuple(exported.in_avals[0].shape)
     return fn
 
 

@@ -41,6 +41,20 @@ def restore_best_variables(model: Change3D, save_path: str):
     )
 
 
+def postprocess_probs(out) -> Dict[str, np.ndarray]:
+    """Raw head outputs -> soft maps: binary heads pass through (sigmoid is
+    applied in-model, matching the reference's has_sigmoid decoders), class
+    heads softmax to probabilities."""
+    result = {}
+    for key, val in out.items():
+        val = np.asarray(val.astype(jnp.float32))
+        if key in ("pre", "post", "cls"):
+            e = np.exp(val - val.max(-1, keepdims=True))
+            val = e / e.sum(-1, keepdims=True)
+        result[key] = val
+    return result
+
+
 class Predictor:
     def __init__(
         self,
@@ -82,15 +96,9 @@ class Predictor:
         """Soft per-task maps: binary heads as sigmoid probabilities
         [B,h,w,1], class heads as softmax probabilities [B,h,w,C]. The
         blendable form tiled inference averages over overlaps."""
-        out = self._forward(self.variables, jnp.asarray(pre), jnp.asarray(post))
-        result = {}
-        for key, val in out.items():
-            val = np.asarray(val.astype(jnp.float32))
-            if key in ("pre", "post", "cls"):
-                e = np.exp(val - val.max(-1, keepdims=True))
-                val = e / e.sum(-1, keepdims=True)
-            result[key] = val
-        return result
+        return postprocess_probs(
+            self._forward(self.variables, jnp.asarray(pre), jnp.asarray(post))
+        )
 
     @staticmethod
     def harden(probs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -112,6 +120,28 @@ class Predictor:
         BCD: {'change': bool mask}; SCD: {'pre','post': class ids, 'change'};
         BDA: {'cls': class ids, 'loc': bool mask}."""
         return self.harden(self.predict_probs(pre, post))
+
+
+class ArtifactPredictor:
+    """Predictor-compatible wrapper over an AOT StableHLO artifact
+    (change3d_tpu.export): same ``predict``/``predict_probs`` surface, so
+    the serving layer and :class:`TiledPredictor` work on either weights
+    source. Input geometry is read from the artifact's own avals."""
+
+    def __init__(self, path_or_bytes):
+        from types import SimpleNamespace
+
+        from change3d_tpu.export import load_exported
+
+        self._fn = load_exported(path_or_bytes)
+        _, h, w, _ = self._fn.input_shape  # batch may be symbolic
+        self.model = SimpleNamespace(in_height=int(h), in_width=int(w))
+
+    def predict_probs(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        return postprocess_probs(self._fn(pre, post))
+
+    def predict(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        return Predictor.harden(self.predict_probs(pre, post))
 
 
 class TiledPredictor:

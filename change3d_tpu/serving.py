@@ -1,0 +1,277 @@
+"""Production HTTP serving for trained detection models.
+
+The reference has no serving story at all (inference exists only inside its
+validation loops); this module turns a trained run — or an AOT-exported
+StableHLO artifact — into a long-lived batching prediction service:
+
+- **Request batching onto one compiled shape**: incoming requests queue and
+  a single dispatcher thread gathers up to ``batch_size`` of them (waiting
+  at most ``max_delay_ms`` after the first), pads the batch to exactly
+  ``batch_size`` (static shapes — one XLA executable reused forever), and
+  runs one device dispatch for the whole group. Throughput scales with the
+  chip's batch sweet spot (bench.py: batch 128 saturates a v5e) while
+  single-request latency is bounded by the delay budget.
+- **Stateless HTTP/JSON API** (stdlib http.server, threading): POST
+  ``/v1/predict`` with base64-PNG ``pre``/``post``; masks come back as
+  base64 PNGs. ``GET /healthz`` reports readiness and config.
+- **Tiled mode**: ``tiled=True`` serves native-resolution scenes through
+  :class:`~change3d_tpu.inference.TiledPredictor` (per-request windowing,
+  no cross-request batching).
+
+Channel order matches the training data pins (`data/datasets.py`): BCD/SCD
+decode to RGB, BDA stays BGR — send PNGs as saved on disk and the server
+handles it.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _normalize(img: np.ndarray) -> np.ndarray:
+    """The eval transform's normalization (/255, mean .5, std .5) without its
+    resize (ref pipeline: /root/reference/data/transforms.py:190-197)."""
+    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def decode_image(b64: str, *, to_rgb: bool) -> np.ndarray:
+    import cv2
+
+    raw = np.frombuffer(base64.b64decode(b64, validate=True), np.uint8)
+    img = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("not a decodable image")
+    return img[:, :, ::-1] if to_rgb else img
+
+
+def encode_mask(mask: np.ndarray) -> str:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", np.ascontiguousarray(mask.astype(np.uint8)))
+    if not ok:
+        raise ValueError("png encode failed")
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def masks_to_payload(task: str, out: Dict[str, np.ndarray]) -> Dict[str, str]:
+    """Hardened per-image maps -> base64-PNG response fields (the same
+    per-task files cli predict writes)."""
+    if task == "bcd":
+        return {"change": encode_mask(out["change"] * 255)}
+    if task == "scd":
+        change = out["change"]
+        return {
+            "pre": encode_mask(out["pre"] * change),
+            "post": encode_mask(out["post"] * change),
+            "change": encode_mask(change * 255),
+        }
+    return {"loc": encode_mask(out["loc"] * 255), "cls": encode_mask(out["cls"])}
+
+
+class _Batcher:
+    """Gathers requests into fixed-size device batches.
+
+    One dispatcher thread owns the device: it blocks on the first pending
+    request, then drains up to ``batch_size`` (waiting at most ``max_delay``
+    seconds for stragglers), pads to exactly ``batch_size`` by repeating the
+    last pair, and runs ``predict_batch`` once for the group.
+    """
+
+    def __init__(self, predict_batch, batch_size: int, max_delay: float):
+        self._predict_batch = predict_batch
+        self.batch_size = batch_size
+        self.max_delay = max_delay
+        self._lock = threading.Condition()
+        self._pending: List[dict] = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """Blocks until the request's batch has been served; returns this
+        request's hardened maps (or raises the batch's failure)."""
+        item = {"pre": pre, "post": post, "event": threading.Event()}
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._pending.append(item)
+            self._lock.notify()
+        item["event"].wait()
+        if "error" in item:
+            raise item["error"]
+        return item["result"]
+
+    def close(self):
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._thread.join(timeout=5)
+
+    def _take_batch(self) -> List[dict]:
+        with self._lock:
+            while not self._pending and not self._closed:
+                self._lock.wait()
+            if self._closed and not self._pending:
+                return []
+            deadline = time.monotonic() + self.max_delay
+            while len(self._pending) < self.batch_size and not self._closed:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._lock.wait(timeout=remaining)
+            batch, self._pending = (
+                self._pending[: self.batch_size],
+                self._pending[self.batch_size :],
+            )
+            return batch
+
+    def _run(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            try:
+                n = len(batch)
+                pre = np.stack([b["pre"] for b in batch])
+                post = np.stack([b["post"] for b in batch])
+                pad = self.batch_size - n
+                if pad:
+                    pre = np.concatenate([pre, np.repeat(pre[-1:], pad, 0)])
+                    post = np.concatenate([post, np.repeat(post[-1:], pad, 0)])
+                out = self._predict_batch(pre, post)
+                for i, item in enumerate(batch):
+                    item["result"] = {k: v[i] for k, v in out.items()}
+            except Exception as e:  # noqa: BLE001 — failures propagate per request
+                for item in batch:
+                    item["error"] = e
+            finally:
+                for item in batch:
+                    item["event"].set()
+
+
+class PredictService:
+    """Task-aware request handling over a Predictor / exported artifact."""
+
+    def __init__(
+        self,
+        task: str,
+        predictor,
+        *,
+        batch_size: int = 16,
+        max_delay_ms: float = 10.0,
+        tiled: bool = False,
+        tile_overlap: int = 32,
+    ):
+        self.task = task
+        self.to_rgb = task in ("bcd", "scd")  # BDA trains on raw-cv2 BGR
+        self.tiled = tiled
+        self.batch_size = batch_size
+        self.in_hw: Optional[Tuple[int, int]] = (
+            (predictor.model.in_height, predictor.model.in_width)
+            if getattr(predictor, "model", None) is not None
+            else None
+        )
+        if tiled:
+            from change3d_tpu.inference import TiledPredictor
+
+            self._tiled = TiledPredictor(
+                predictor, overlap=tile_overlap, batch_size=batch_size
+            )
+            self._batcher = None
+        else:
+            self._tiled = None
+            self._batcher = _Batcher(
+                predictor.predict, batch_size, max_delay_ms / 1000.0
+            )
+
+    def handle(self, body: dict) -> Dict[str, str]:
+        try:
+            pre = _normalize(decode_image(body["pre"], to_rgb=self.to_rgb))
+            post = _normalize(decode_image(body["post"], to_rgb=self.to_rgb))
+        except (KeyError, ValueError, TypeError) as e:
+            raise _BadRequest(f"bad pre/post image: {e}") from e
+        if pre.shape != post.shape:
+            raise _BadRequest(f"pre {pre.shape} != post {post.shape}")
+        if self.tiled:
+            out = self._tiled.predict_scene(pre, post)
+        else:
+            if self.in_hw and pre.shape[:2] != self.in_hw:
+                raise _BadRequest(
+                    f"image is {pre.shape[:2]}, model expects {self.in_hw} "
+                    "(start the server with --tiled for native-size scenes)"
+                )
+            out = self._batcher.submit(pre, post)
+        return masks_to_payload(self.task, out)
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "task": self.task,
+            "batch_size": self.batch_size,
+            "tiled": self.tiled,
+            "input_hw": list(self.in_hw) if self.in_hw else None,
+        }
+
+    def close(self):
+        if self._batcher:
+            self._batcher.close()
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000):
+    """Build (not start) a ThreadingHTTPServer around a PredictService."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/predict":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                self._reply(200, service.handle(body))
+            except _BadRequest as e:
+                self._reply(400, {"error": str(e)})
+            except json.JSONDecodeError as e:
+                self._reply(400, {"error": f"bad JSON: {e}"})
+            except Exception as e:  # noqa: BLE001 — 500 with reason
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet; health checks are chatty
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(service: PredictService, host: str, port: int):
+    httpd = make_server(service, host, port)
+    print(f"serving {service.task} on http://{host}:{port} "
+          f"(batch {service.batch_size}, tiled={service.tiled})")
+    try:
+        httpd.serve_forever()
+    finally:
+        service.close()

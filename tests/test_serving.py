@@ -1,0 +1,259 @@
+"""HTTP batching prediction service (change3d_tpu/serving.py + cli serve).
+
+The reference has no serving path at all (inference exists only inside its
+validation loops, ref: /root/reference/scripts/train_BCD.py:92-154); this is
+the deployment-facing component of the TPU build.
+"""
+
+import base64
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from change3d_tpu.inference import Predictor
+from change3d_tpu.models.trainer import Change3D, Task
+from change3d_tpu.models.x3d import X3DConfig
+from change3d_tpu.serving import (
+    PredictService,
+    _Batcher,
+    decode_image,
+    encode_mask,
+    make_server,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+TINY_CFG = X3DConfig(
+    stem_dim_out=8,
+    stage_dims=(8, 16, 24, 32),
+    stage_inner_dims=(18, 36, 54, 72),
+    stage_depths=(1, 1, 2, 1),
+    head_dim_out=64,
+    num_classes=10,
+)
+HW = 32
+
+
+# ---------------------------------------------------------------------------
+# batcher
+# ---------------------------------------------------------------------------
+
+def test_batcher_pads_and_batches():
+    calls = []
+
+    def predict_batch(pre, post):
+        calls.append(pre.shape[0])
+        assert pre.shape[0] == 4  # always padded to the fixed batch
+        return {"m": pre.sum(axis=(1, 2, 3))}
+
+    b = _Batcher(predict_batch, batch_size=4, max_delay=0.05)
+    xs = [np.full((2, 2, 3), i, np.float32) for i in range(3)]
+    results = [None] * 3
+
+    def submit(i):
+        results[i] = b.submit(xs[i], xs[i])
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    # Each request got ITS OWN row back regardless of batch order/padding.
+    for i in range(3):
+        np.testing.assert_allclose(results[i]["m"], xs[i].sum())
+    assert all(c == 4 for c in calls)
+
+
+def test_batcher_propagates_errors_and_rejects_after_close():
+    def predict_batch(pre, post):
+        raise RuntimeError("device on fire")
+
+    b = _Batcher(predict_batch, batch_size=2, max_delay=0.01)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        b.submit(np.zeros((2, 2, 3)), np.zeros((2, 2, 3)))
+    b.close()
+    with pytest.raises(RuntimeError, match="shut down"):
+        b.submit(np.zeros((2, 2, 3)), np.zeros((2, 2, 3)))
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+def test_image_codec_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (16, 20, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    b64 = base64.b64encode(buf.tobytes()).decode()
+    got_bgr = decode_image(b64, to_rgb=False)
+    np.testing.assert_array_equal(got_bgr, img)
+    got_rgb = decode_image(b64, to_rgb=True)
+    np.testing.assert_array_equal(got_rgb, img[:, :, ::-1])
+
+    mask = rng.randint(0, 2, (16, 20), np.uint8) * 255
+    rt = cv2.imdecode(
+        np.frombuffer(base64.b64decode(encode_mask(mask)), np.uint8),
+        cv2.IMREAD_UNCHANGED,
+    )
+    np.testing.assert_array_equal(rt, mask)
+
+
+# ---------------------------------------------------------------------------
+# end to end over HTTP
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def bcd_predictor():
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=HW, in_width=HW,
+                     backbone_cfg=TINY_CFG)
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    return Predictor(model, variables, compute_dtype=jnp.float32)
+
+
+def _start(service):
+    httpd = make_server(service, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def _post(url, payload, expect=200):
+    req = urllib.request.Request(
+        url + "/v1/predict", json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _png64(img):
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def test_http_serving_matches_direct_predictor(bcd_predictor):
+    service = PredictService("bcd", bcd_predictor, batch_size=4, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        with urllib.request.urlopen(url + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["input_hw"] == [HW, HW]
+
+        rng = np.random.RandomState(1)
+        imgs = [
+            (rng.randint(0, 255, (HW, HW, 3), np.uint8),
+             rng.randint(0, 255, (HW, HW, 3), np.uint8))
+            for _ in range(5)
+        ]
+        # Concurrent requests exercise the batching path.
+        codes, bodies = [None] * 5, [None] * 5
+
+        def call(i):
+            codes[i], bodies[i] = _post(
+                url, {"pre": _png64(imgs[i][0]), "post": _png64(imgs[i][1])}
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert codes == [200] * 5
+
+        for i in range(5):
+            mask = cv2.imdecode(
+                np.frombuffer(base64.b64decode(bodies[i]["change"]), np.uint8),
+                cv2.IMREAD_UNCHANGED,
+            )
+            pre = ((imgs[i][0][:, :, ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
+            post = ((imgs[i][1][:, :, ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
+            expect = bcd_predictor.predict(pre[None], post[None])["change"][0]
+            np.testing.assert_array_equal(mask > 0, expect)
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
+def test_http_bad_requests(bcd_predictor):
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=1)
+    httpd, url = _start(service)
+    try:
+        code, body = _post(url, {"pre": "!!!notbase64", "post": "x"})
+        assert code == 400 and "bad pre/post" in body["error"]
+
+        wrong = _png64(np.zeros((HW * 2, HW, 3), np.uint8))
+        code, body = _post(url, {"pre": wrong, "post": wrong})
+        assert code == 400 and "--tiled" in body["error"]
+
+        code, body = _post(url, {"pre": _png64(np.zeros((HW, HW, 3), np.uint8))})
+        assert code == 400
+
+        req = urllib.request.Request(url + "/nope", b"{}")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
+def test_http_tiled_scene(bcd_predictor):
+    service = PredictService(
+        "bcd", bcd_predictor, batch_size=4, tiled=True, tile_overlap=8
+    )
+    httpd, url = _start(service)
+    try:
+        rng = np.random.RandomState(2)
+        pre = rng.randint(0, 255, (70, 90, 3), np.uint8)
+        post = rng.randint(0, 255, (70, 90, 3), np.uint8)
+        code, body = _post(url, {"pre": _png64(pre), "post": _png64(post)})
+        assert code == 200
+        mask = cv2.imdecode(
+            np.frombuffer(base64.b64decode(body["change"]), np.uint8),
+            cv2.IMREAD_UNCHANGED,
+        )
+        assert mask.shape == (70, 90)
+        assert set(np.unique(mask)) <= {0, 255}
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
+def test_scd_payload_fields(bcd_predictor):
+    """masks_to_payload field sets per task (scd via a real scd model)."""
+    model = Change3D(task=Task.SCD, num_classes=6, in_height=HW, in_width=HW,
+                     backbone_cfg=TINY_CFG)
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    service = PredictService(
+        "scd", Predictor(model, variables, compute_dtype=jnp.float32),
+        batch_size=2, max_delay_ms=1,
+    )
+    httpd, url = _start(service)
+    try:
+        img = _png64(np.random.RandomState(3).randint(0, 255, (HW, HW, 3), np.uint8))
+        code, body = _post(url, {"pre": img, "post": img})
+        assert code == 200
+        assert set(body) == {"pre", "post", "change"}
+    finally:
+        httpd.shutdown()
+        service.close()
