@@ -207,11 +207,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="HTTP batching prediction service for a trained detection run "
         "or an exported artifact (POST /v1/predict, GET /healthz)",
     )
-    srv.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda"])
+    srv.add_argument("--model_task", required=True, choices=["bcd", "scd", "bda", "cc"])
     src = srv.add_mutually_exclusive_group(required=True)
     src.add_argument("--checkpoint", help="experiment dir containing best/")
     src.add_argument("--artifact", help="exported StableHLO artifact (cli export)")
     srv.add_argument("--num_class", type=int, default=1)
+    # cc-only serve flags
+    srv.add_argument("--file_root", default=None, help="(cc) dataset root for the word map")
+    srv.add_argument("--dataset", default="LEVIR_CC_5_cap_per_img_5_min_word_freq")
+    srv.add_argument("--word_map", default=None)
+    srv.add_argument("--beam_size", type=int, default=1)
+    srv.add_argument("--embed_dim", type=int, default=192)
+    srv.add_argument("--n_head", type=int, default=8)
+    srv.add_argument("--n_layer", type=int, default=3)
     srv.add_argument("--in_height", type=int, default=256)
     srv.add_argument("--in_width", type=int, default=256)
     srv.add_argument("--batch_size", type=int, default=16,
@@ -543,7 +551,31 @@ def run_serve(args):
     """Start the HTTP batching prediction service (change3d_tpu/serving.py)."""
     from change3d_tpu.serving import PredictService, serve_forever
 
-    if args.artifact:
+    if args.model_task == "cc":
+        from change3d_tpu.train.caption_loop import CaptionRunConfig, load_word_map
+
+        if not (args.file_root or args.word_map):
+            raise SystemExit("cc serve needs --word_map (or --file_root to find it)")
+        ccfg = CaptionRunConfig(
+            file_root=args.file_root or "", dataset=args.dataset,
+            word_map=args.word_map, embed_dim=args.embed_dim,
+            n_head=args.n_head, n_layer=args.n_layer, beam_size=args.beam_size,
+        )
+        word_map = load_word_map(ccfg)
+        if args.artifact:
+            from change3d_tpu.inference import CaptionArtifactPredictor
+
+            predictor = CaptionArtifactPredictor(args.artifact, word_map)
+        else:
+            from change3d_tpu.inference import CaptionPredictor, restore_best_variables
+            from change3d_tpu.train.caption_loop import build_caption_model
+
+            model = build_caption_model(ccfg, len(word_map), in_size=args.in_height)
+            predictor = CaptionPredictor(
+                model, restore_best_variables(model, args.checkpoint), word_map,
+                beam_size=args.beam_size, embed_weights=True,
+            )
+    elif args.artifact:
         from change3d_tpu.inference import ArtifactPredictor
 
         predictor = ArtifactPredictor(args.artifact)

@@ -148,4 +148,5 @@ def load_exported_captioner(path_or_bytes) -> Callable:
     def fn(pre, post):
         return exported.call(jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32))
 
+    fn.input_shape = tuple(exported.in_avals[0].shape)
     return fn

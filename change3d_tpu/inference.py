@@ -203,6 +203,36 @@ class TiledPredictor:
         return Predictor.harden(self.predict_scene_probs(pre, post))
 
 
+def tokens_to_captions(tokens, word_map: Dict[str, int]) -> List[str]:
+    """Decoded id rows -> sentences, stripping <start>/<end>/<pad>."""
+    rev = {v: k for k, v in word_map.items()}
+    special = {word_map["<start>"], word_map["<end>"], word_map.get("<pad>", 0)}
+    return [
+        " ".join(rev.get(int(t), "<unk>") for t in row if int(t) not in special)
+        for row in np.asarray(tokens)
+    ]
+
+
+class CaptionArtifactPredictor:
+    """``caption()`` over an AOT caption artifact (encoder + beam decode are
+    baked in; the word map travels separately — ids are the vocabulary,
+    see export_caption_model)."""
+
+    def __init__(self, path_or_bytes, word_map: Dict[str, int]):
+        from types import SimpleNamespace
+
+        from change3d_tpu.export import load_exported_captioner
+
+        self._fn = load_exported_captioner(path_or_bytes)
+        self.word_map = word_map
+        _, h, w, _ = self._fn.input_shape
+        self.model = SimpleNamespace(in_height=int(h), in_width=int(w))
+
+    def caption(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
+        tokens, _ = self._fn(pre, post)
+        return tokens_to_captions(tokens, self.word_map)
+
+
 class CaptionPredictor(Predictor):
     def __init__(self, model: Change3D, variables, word_map: Dict[str, int], *, beam_size: int = 1, **kw):
         embed = kw.get("embed_weights", False)
@@ -243,8 +273,4 @@ class CaptionPredictor(Predictor):
 
     def caption(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
         tokens, _ = self._decode(self.variables, jnp.asarray(pre), jnp.asarray(post))
-        special = {self.word_map["<start>"], self.word_map["<end>"], self.word_map.get("<pad>", 0)}
-        return [
-            " ".join(self.rev.get(int(t), "<unk>") for t in row if int(t) not in special)
-            for row in np.asarray(tokens)
-        ]
+        return tokens_to_captions(tokens, self.word_map)

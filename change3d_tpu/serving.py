@@ -41,6 +41,14 @@ def _normalize(img: np.ndarray) -> np.ndarray:
     return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
 
 
+def _normalize_cc(img: np.ndarray) -> np.ndarray:
+    """Captioning normalization: /255 then ImageNet mean/std
+    (ref: /root/reference/scripts/train_CC.py:466-469)."""
+    from change3d_tpu.data.datasets import CaptionDataset
+
+    return (img.astype(np.float32) / 255.0 - CaptionDataset.MEAN) / CaptionDataset.STD
+
+
 def decode_image(b64: str, *, to_rgb: bool) -> np.ndarray:
     import cv2
 
@@ -62,7 +70,9 @@ def encode_mask(mask: np.ndarray) -> str:
 
 def masks_to_payload(task: str, out: Dict[str, np.ndarray]) -> Dict[str, str]:
     """Hardened per-image maps -> base64-PNG response fields (the same
-    per-task files cli predict writes)."""
+    per-task files cli predict writes). CC returns plain text."""
+    if task == "cc":
+        return {"caption": str(out["caption"])}
     if task == "bcd":
         return {"change": encode_mask(out["change"] * 255)}
     if task == "scd":
@@ -170,7 +180,7 @@ class PredictService:
         tile_overlap: int = 32,
     ):
         self.task = task
-        self.to_rgb = task in ("bcd", "scd")  # BDA trains on raw-cv2 BGR
+        self.to_rgb = task != "bda"  # BDA trains on raw-cv2 BGR
         self.tiled = tiled
         self.batch_size = batch_size
         self.in_hw: Optional[Tuple[int, int]] = (
@@ -179,6 +189,8 @@ class PredictService:
             else None
         )
         if tiled:
+            if task == "cc":
+                raise ValueError("tiled serving applies to detection tasks only")
             from change3d_tpu.inference import TiledPredictor
 
             self._tiled = TiledPredictor(
@@ -187,14 +199,21 @@ class PredictService:
             self._batcher = None
         else:
             self._tiled = None
+            if task == "cc":
+                def predict_batch(pre, post):
+                    caps = predictor.caption(pre, post)
+                    return {"caption": np.array(caps, dtype=object)}
+            else:
+                predict_batch = predictor.predict
             self._batcher = _Batcher(
-                predictor.predict, batch_size, max_delay_ms / 1000.0
+                predict_batch, batch_size, max_delay_ms / 1000.0
             )
 
     def handle(self, body: dict) -> Dict[str, str]:
+        norm = _normalize_cc if self.task == "cc" else _normalize
         try:
-            pre = _normalize(decode_image(body["pre"], to_rgb=self.to_rgb))
-            post = _normalize(decode_image(body["post"], to_rgb=self.to_rgb))
+            pre = norm(decode_image(body["pre"], to_rgb=self.to_rgb))
+            post = norm(decode_image(body["post"], to_rgb=self.to_rgb))
         except (KeyError, ValueError, TypeError) as e:
             raise _BadRequest(f"bad pre/post image: {e}") from e
         if pre.shape != post.shape:

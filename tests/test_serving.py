@@ -236,6 +236,52 @@ def test_http_tiled_scene(bcd_predictor):
         service.close()
 
 
+def test_http_caption_serving():
+    """CC over HTTP: beam-decoded sentences, batched like detection."""
+    from change3d_tpu.inference import CaptionPredictor
+
+    from _tiny_cc import TINY_KW, VOCAB
+
+    model = Change3D(
+        task=Task.CC, vocab_size=len(VOCAB), embed_dim=32, num_heads=4,
+        num_layers=1, backbone_cfg=X3DConfig(**TINY_KW), in_height=HW, in_width=HW,
+    )
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, x, captions=jnp.zeros((1, 4), jnp.int32)
+    )
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    predictor = CaptionPredictor(
+        model, variables, VOCAB, beam_size=2, compute_dtype=jnp.float32
+    )
+    service = PredictService("cc", predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        rng = np.random.RandomState(4)
+        pre = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        post = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        code, body = _post(url, {"pre": _png64(pre), "post": _png64(post)})
+        assert code == 200
+        assert isinstance(body["caption"], str)
+        vocab_words = set(VOCAB) - {"<pad>", "<start>", "<end>"}
+        assert all(w in vocab_words for w in body["caption"].split())
+
+        # Served caption equals a direct decode of the same pair (the server
+        # converts the PNG's BGR to RGB before ImageNet normalization).
+        from change3d_tpu.serving import _normalize_cc
+
+        npre = _normalize_cc(pre[:, :, ::-1])[None]
+        npost = _normalize_cc(post[:, :, ::-1])[None]
+        assert body["caption"] == predictor.caption(npre, npost)[0]
+    finally:
+        httpd.shutdown()
+        service.close()
+
+    with pytest.raises(ValueError, match="detection"):
+        PredictService("cc", predictor, tiled=True)
+
+
 def test_scd_payload_fields(bcd_predictor):
     """masks_to_payload field sets per task (scd via a real scd model)."""
     model = Change3D(task=Task.SCD, num_classes=6, in_height=HW, in_width=HW,
