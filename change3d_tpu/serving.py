@@ -283,7 +283,13 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
         def log_message(self, fmt, *args):  # quiet; health checks are chatty
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # Default listen backlog (5) resets connections under the bursty
+        # many-client load the batcher is built for.
+        request_queue_size = 1024
+        daemon_threads = True
+
+    return Server((host, port), Handler)
 
 
 def serve_forever(service: PredictService, host: str, port: int):
