@@ -27,12 +27,55 @@ from __future__ import annotations
 
 import base64
 import json
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+class _Stats:
+    """Lock-guarded serving counters + a latency ring buffer (seconds)."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.batches_total = 0
+        self.batched_requests_total = 0
+        self._latencies: List[float] = []
+        self._window = window
+
+    def record_request(self, seconds: float, ok: bool):
+        with self._lock:
+            self.requests_total += 1
+            if not ok:
+                self.errors_total += 1
+            self._latencies.append(seconds)
+            if len(self._latencies) > self._window:
+                self._latencies = self._latencies[-self._window :]
+
+    def record_batch(self, fill: int):
+        with self._lock:
+            self.batches_total += 1
+            self.batched_requests_total += fill
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            q = lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 4) if lat else None
+            return {
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+                "batches_total": self.batches_total,
+                "mean_batch_fill": (
+                    round(self.batched_requests_total / self.batches_total, 2)
+                    if self.batches_total else None
+                ),
+                "latency_s": {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)},
+            }
 
 
 def _normalize(img: np.ndarray) -> np.ndarray:
@@ -94,10 +137,12 @@ class _Batcher:
     last pair, and runs ``predict_batch`` once for the group.
     """
 
-    def __init__(self, predict_batch, batch_size: int, max_delay: float):
+    def __init__(self, predict_batch, batch_size: int, max_delay: float,
+                 stats: Optional[_Stats] = None):
         self._predict_batch = predict_batch
         self.batch_size = batch_size
         self.max_delay = max_delay
+        self._stats = stats
         self._lock = threading.Condition()
         self._pending: List[dict] = []
         self._closed = False
@@ -149,6 +194,8 @@ class _Batcher:
                 return
             try:
                 n = len(batch)
+                if self._stats:
+                    self._stats.record_batch(n)
                 pre = np.stack([b["pre"] for b in batch])
                 post = np.stack([b["post"] for b in batch])
                 pad = self.batch_size - n
@@ -183,6 +230,7 @@ class PredictService:
         self.to_rgb = task != "bda"  # BDA trains on raw-cv2 BGR
         self.tiled = tiled
         self.batch_size = batch_size
+        self.stats = _Stats()
         self.in_hw: Optional[Tuple[int, int]] = (
             (predictor.model.in_height, predictor.model.in_width)
             if getattr(predictor, "model", None) is not None
@@ -206,7 +254,7 @@ class PredictService:
             else:
                 predict_batch = predictor.predict
             self._batcher = _Batcher(
-                predict_batch, batch_size, max_delay_ms / 1000.0
+                predict_batch, batch_size, max_delay_ms / 1000.0, stats=self.stats
             )
 
     def handle(self, body: dict) -> Dict[str, str]:
@@ -262,6 +310,8 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
                 self._reply(200, service.health())
+            elif self.path == "/metrics":
+                self._reply(200, service.stats.snapshot())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -269,16 +319,22 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
             if self.path != "/v1/predict":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
+            t0 = time.monotonic()
+            ok = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length))
-                self._reply(200, service.handle(body))
+                payload = service.handle(body)
+                ok = True
+                self._reply(200, payload)
             except _BadRequest as e:
                 self._reply(400, {"error": str(e)})
             except json.JSONDecodeError as e:
                 self._reply(400, {"error": f"bad JSON: {e}"})
             except Exception as e:  # noqa: BLE001 — 500 with reason
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                service.stats.record_request(time.monotonic() - t0, ok)
 
         def log_message(self, fmt, *args):  # quiet; health checks are chatty
             pass
@@ -294,9 +350,16 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
 
 def serve_forever(service: PredictService, host: str, port: int):
     httpd = make_server(service, host, port)
+    # SIGTERM (the orchestrator's stop signal) drains cleanly like Ctrl-C:
+    # stop accepting, finish in-flight batches, release the device.
+    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=httpd.shutdown, daemon=True).start())
     print(f"serving {service.task} on http://{host}:{port} "
           f"(batch {service.batch_size}, tiled={service.tiled})")
     try:
         httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
     finally:
         service.close()
+        print("server stopped")

@@ -189,6 +189,25 @@ def test_http_serving_matches_direct_predictor(bcd_predictor):
         service.close()
 
 
+def test_metrics_endpoint(bcd_predictor):
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        img = _png64(np.random.RandomState(5).randint(0, 255, (HW, HW, 3), np.uint8))
+        assert _post(url, {"pre": img, "post": img})[0] == 200
+        assert _post(url, {"pre": "junk", "post": img})[0] == 400
+        with urllib.request.urlopen(url + "/metrics") as r:
+            m = json.loads(r.read())
+        assert m["requests_total"] == 2
+        assert m["errors_total"] == 1
+        assert m["batches_total"] >= 1
+        assert m["latency_s"]["p50"] is not None
+        assert m["mean_batch_fill"] >= 1
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_http_bad_requests(bcd_predictor):
     service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=1)
     httpd, url = _start(service)
