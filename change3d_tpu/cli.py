@@ -502,30 +502,35 @@ def run_info(args) -> int:
     return 0
 
 
+def _cc_config_and_word_map(args):
+    """Shared cc setup for export/serve: word-map discovery + run config."""
+    from change3d_tpu.train.caption_loop import CaptionRunConfig, load_word_map
+
+    if not (args.file_root or args.word_map):
+        raise SystemExit(
+            f"cc {args.task} needs --word_map (or --file_root to find it)"
+        )
+    ccfg = CaptionRunConfig(
+        file_root=args.file_root or "", dataset=args.dataset, word_map=args.word_map,
+        embed_dim=args.embed_dim, n_head=args.n_head, n_layer=args.n_layer,
+        beam_size=args.beam_size,
+    )
+    return ccfg, load_word_map(ccfg)
+
+
 def run_export(args):
     platforms = tuple(args.platforms.split(","))
     if args.model_task == "cc":
         from change3d_tpu.export import export_caption_model
         from change3d_tpu.inference import restore_best_variables
-        from change3d_tpu.train.caption_loop import (
-            CaptionRunConfig,
-            build_caption_model,
-            load_word_map,
-        )
+        from change3d_tpu.train.caption_loop import build_caption_model
 
-        if not (args.file_root or args.word_map):
-            raise SystemExit("cc export needs --word_map (or --file_root to find it)")
         if args.in_width != args.in_height:
             raise SystemExit(
                 "cc export: the caption model is square-input "
                 "(--in_height must equal --in_width)"
             )
-        ccfg = CaptionRunConfig(
-            file_root=args.file_root or "", dataset=args.dataset, word_map=args.word_map,
-            embed_dim=args.embed_dim, n_head=args.n_head, n_layer=args.n_layer,
-            beam_size=args.beam_size,
-        )
-        word_map = load_word_map(ccfg)
+        ccfg, word_map = _cc_config_and_word_map(args)
         model = build_caption_model(ccfg, len(word_map), in_size=args.in_height)
         blob = export_caption_model(
             model, restore_best_variables(model, args.checkpoint), word_map,
@@ -552,16 +557,7 @@ def run_serve(args):
     from change3d_tpu.serving import PredictService, serve_forever
 
     if args.model_task == "cc":
-        from change3d_tpu.train.caption_loop import CaptionRunConfig, load_word_map
-
-        if not (args.file_root or args.word_map):
-            raise SystemExit("cc serve needs --word_map (or --file_root to find it)")
-        ccfg = CaptionRunConfig(
-            file_root=args.file_root or "", dataset=args.dataset,
-            word_map=args.word_map, embed_dim=args.embed_dim,
-            n_head=args.n_head, n_layer=args.n_layer, beam_size=args.beam_size,
-        )
-        word_map = load_word_map(ccfg)
+        ccfg, word_map = _cc_config_and_word_map(args)
         if args.artifact:
             from change3d_tpu.inference import CaptionArtifactPredictor
 
@@ -687,11 +683,13 @@ def run_predict(args):
         tiled = TiledPredictor(
             predictor, overlap=args.tile_overlap, batch_size=args.batch_size
         )
+        from change3d_tpu.data.transforms import eval_normalize
+
         for idx, name in enumerate(names):
             img, _ = ds[idx]
-            # Same normalization as the eval transform (/255, mean .5, std .5)
-            # without its resize — tiling replaces it.
-            img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+            # The eval transform's normalization without its resize — tiling
+            # replaces it.
+            img = eval_normalize(img)
             out = tiled.predict_scene(img[..., :3], img[..., 3:])
             write_one(os.path.splitext(name)[0], out)
         print(f"wrote {len(names)} scene predictions to {args.out}")

@@ -84,6 +84,13 @@ class TransformPipeline:
         return image.astype(np.float32), label.astype(np.int32)
 
 
+def eval_normalize(img: np.ndarray) -> np.ndarray:
+    """The detection eval normalization (/255, mean .5, std .5) WITHOUT the
+    resize — the single definition tiled prediction and serving share with
+    TransformPipeline (ref: /root/reference/data/transforms.py:190-197)."""
+    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
 def make_transform_pipelines(task: str, width: int = 256, height: int = 256) -> Tuple[TransformPipeline, TransformPipeline]:
     """(train, eval) pipelines, mirroring get_transform_pipelines
     (ref: /root/reference/data/transforms.py:165-205)."""

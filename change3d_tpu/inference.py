@@ -134,8 +134,10 @@ class ArtifactPredictor:
         from change3d_tpu.export import load_exported
 
         self._fn = load_exported(path_or_bytes)
-        _, h, w, _ = self._fn.input_shape  # batch may be symbolic
+        b, h, w, _ = self._fn.input_shape  # batch may be symbolic
         self.model = SimpleNamespace(in_height=int(h), in_width=int(w))
+        # Concrete when exported with --batch N (callers must match it).
+        self.fixed_batch = int(b) if isinstance(b, int) else None
 
     def predict_probs(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         return postprocess_probs(self._fn(pre, post))
@@ -168,34 +170,42 @@ class TiledPredictor:
 
     def predict_scene_probs(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         """pre/post: one [H, W, 3] normalized float scene, any size.
-        Returns blended soft maps at scene resolution."""
-        from change3d_tpu.utils.tiling import tile_scene, untile_scene
+        Returns blended soft maps at scene resolution.
+
+        Tiles are sliced and accumulated into the blend canvas batch by
+        batch, so peak host memory stays O(scene) (one padded copy of each
+        input + one canvas per output key), independent of tile count."""
+        from change3d_tpu.utils.tiling import blend_window, pad_scene, scene_offsets
 
         th = self.predictor.model.in_height
         tw = self.predictor.model.in_width
-        pre_t, offsets = tile_scene(np.asarray(pre, np.float32), th, tw, self.overlap)
-        post_t, _ = tile_scene(np.asarray(post, np.float32), th, tw, self.overlap)
+        pre_p = pad_scene(np.asarray(pre, np.float32), th, tw)
+        post_p = pad_scene(np.asarray(post, np.float32), th, tw)
+        ch, cw = pre_p.shape[:2]
+        offsets = scene_offsets(ch, cw, th, tw, self.overlap)
 
-        n = len(offsets)
+        w = blend_window(th, tw, self.overlap)[..., None]
+        acc: Dict[str, np.ndarray] = {}
+        wacc = np.zeros((ch, cw, 1), np.float32)
         b = self.batch_size
-        pad = (-n) % b
-        if pad:
-            pre_t = np.concatenate([pre_t, np.repeat(pre_t[-1:], pad, axis=0)])
-            post_t = np.concatenate([post_t, np.repeat(post_t[-1:], pad, axis=0)])
+        for i in range(0, len(offsets), b):
+            group = offsets[i : i + b]
+            pre_t = np.stack([pre_p[y : y + th, x : x + tw] for y, x in group])
+            post_t = np.stack([post_p[y : y + th, x : x + tw] for y, x in group])
+            pad = b - len(group)
+            if pad:
+                pre_t = np.concatenate([pre_t, np.repeat(pre_t[-1:], pad, axis=0)])
+                post_t = np.concatenate([post_t, np.repeat(post_t[-1:], pad, axis=0)])
+            probs = self.predictor.predict_probs(pre_t, post_t)
+            for j, (y, x) in enumerate(group):
+                for key, val in probs.items():
+                    if key not in acc:
+                        acc[key] = np.zeros((ch, cw, val.shape[-1]), np.float32)
+                    acc[key][y : y + th, x : x + tw] += val[j] * w
+                wacc[y : y + th, x : x + tw] += w
 
-        chunks: Dict[str, list] = {}
-        for i in range(0, len(pre_t), b):
-            probs = self.predictor.predict_probs(pre_t[i : i + b], post_t[i : i + b])
-            for key, val in probs.items():
-                chunks.setdefault(key, []).append(val)
-
-        h, w = pre.shape[:2]
-        return {
-            key: untile_scene(
-                np.concatenate(vals)[:n], offsets, h, w, self.overlap
-            )
-            for key, vals in chunks.items()
-        }
+        h0, w0 = pre.shape[:2]
+        return {key: (a / wacc)[:h0, :w0] for key, a in acc.items()}
 
     def predict_scene(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         """Hardened scene-resolution masks (same decision rules as
@@ -225,8 +235,9 @@ class CaptionArtifactPredictor:
 
         self._fn = load_exported_captioner(path_or_bytes)
         self.word_map = word_map
-        _, h, w, _ = self._fn.input_shape
+        b, h, w, _ = self._fn.input_shape
         self.model = SimpleNamespace(in_height=int(h), in_width=int(w))
+        self.fixed_batch = int(b) if isinstance(b, int) else None
 
     def caption(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
         tokens, _ = self._fn(pre, post)

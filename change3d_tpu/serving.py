@@ -79,9 +79,9 @@ class _Stats:
 
 
 def _normalize(img: np.ndarray) -> np.ndarray:
-    """The eval transform's normalization (/255, mean .5, std .5) without its
-    resize (ref pipeline: /root/reference/data/transforms.py:190-197)."""
-    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+    from change3d_tpu.data.transforms import eval_normalize
+
+    return eval_normalize(img)
 
 
 def _normalize_cc(img: np.ndarray) -> np.ndarray:
@@ -231,6 +231,12 @@ class PredictService:
         self.tiled = tiled
         self.batch_size = batch_size
         self.stats = _Stats()
+        fixed = getattr(predictor, "fixed_batch", None)
+        if fixed is not None and fixed != batch_size:
+            raise ValueError(
+                f"artifact was exported with a pinned batch of {fixed}; "
+                f"serve it with --batch_size {fixed} (got {batch_size})"
+            )
         self.in_hw: Optional[Tuple[int, int]] = (
             (predictor.model.in_height, predictor.model.in_width)
             if getattr(predictor, "model", None) is not None
@@ -244,6 +250,10 @@ class PredictService:
             self._tiled = TiledPredictor(
                 predictor, overlap=tile_overlap, batch_size=batch_size
             )
+            # One scene at a time: handler threads must not drive the device
+            # (and materialize tile stacks) concurrently — in batched mode
+            # the single dispatcher thread provides this serialization.
+            self._tiled_lock = threading.Lock()
             self._batcher = None
         else:
             self._tiled = None
@@ -267,7 +277,8 @@ class PredictService:
         if pre.shape != post.shape:
             raise _BadRequest(f"pre {pre.shape} != post {post.shape}")
         if self.tiled:
-            out = self._tiled.predict_scene(pre, post)
+            with self._tiled_lock:
+                out = self._tiled.predict_scene(pre, post)
         else:
             if self.in_hw and pre.shape[:2] != self.in_hw:
                 raise _BadRequest(
@@ -341,9 +352,11 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
 
     class Server(ThreadingHTTPServer):
         # Default listen backlog (5) resets connections under the bursty
-        # many-client load the batcher is built for.
+        # many-client load the batcher is built for. Handler threads are
+        # non-daemonic so server_close() joins them: responses whose compute
+        # finished are fully written before shutdown completes.
         request_queue_size = 1024
-        daemon_threads = True
+        daemon_threads = False
 
     return Server((host, port), Handler)
 
@@ -361,5 +374,8 @@ def serve_forever(service: PredictService, host: str, port: int):
     except KeyboardInterrupt:
         pass
     finally:
+        # Join in-flight handler threads (their batches complete via the
+        # dispatcher, which is still running), THEN stop the dispatcher.
+        httpd.server_close()
         service.close()
         print("server stopped")

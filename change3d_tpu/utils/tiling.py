@@ -49,6 +49,26 @@ def blend_window(size_h: int, size_w: int, overlap: int, floor: float = 0.05) ->
     return np.outer(ramp(size_h), ramp(size_w)).astype(np.float32)
 
 
+def pad_scene(scene: np.ndarray, tile_h: int, tile_w: int) -> np.ndarray:
+    """Edge-pad a scene up to at least one tile in each dimension."""
+    pad_h = max(0, tile_h - scene.shape[0])
+    pad_w = max(0, tile_w - scene.shape[1])
+    if pad_h or pad_w:
+        scene = np.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    return scene
+
+
+def scene_offsets(h: int, w: int, tile_h: int, tile_w: int, overlap: int):
+    """All (y, x) window origins covering an [h, w] scene."""
+    stride_h = max(1, tile_h - overlap)
+    stride_w = max(1, tile_w - overlap)
+    return [
+        (y, x)
+        for y in window_starts(h, tile_h, stride_h)
+        for x in window_starts(w, tile_w, stride_w)
+    ]
+
+
 def tile_scene(scene: np.ndarray, tile_h: int, tile_w: int, overlap: int):
     """Slice [H, W, C] into model-sized tiles.
 
@@ -56,17 +76,8 @@ def tile_scene(scene: np.ndarray, tile_h: int, tile_w: int, overlap: int):
     smaller than the tile in either dimension are edge-padded up front (the
     pad is cropped away again by ``untile_scene``'s canvas shape).
     """
-    pad_h = max(0, tile_h - scene.shape[0])
-    pad_w = max(0, tile_w - scene.shape[1])
-    if pad_h or pad_w:
-        scene = np.pad(scene, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
-    stride_h = max(1, tile_h - overlap)
-    stride_w = max(1, tile_w - overlap)
-    offsets = [
-        (y, x)
-        for y in window_starts(scene.shape[0], tile_h, stride_h)
-        for x in window_starts(scene.shape[1], tile_w, stride_w)
-    ]
+    scene = pad_scene(scene, tile_h, tile_w)
+    offsets = scene_offsets(scene.shape[0], scene.shape[1], tile_h, tile_w, overlap)
     tiles = np.stack([scene[y : y + tile_h, x : x + tile_w] for y, x in offsets])
     return tiles, offsets
 

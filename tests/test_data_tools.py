@@ -192,6 +192,63 @@ def test_crop_cli_end_to_end_feeds_bcd_dataset(tmp_path):
     assert label.shape == (32, 32)
 
 
+def test_crop_bda_layout_with_target_suffix(tmp_path):
+    """xBD-style label names (disaster -> disaster_target) crop into patches
+    BDADataset can load: scenes match across modality dirs by sorted
+    position, and each patch keeps its own dir's stem so the dataset-side
+    name rewrite still resolves."""
+    from change3d_tpu.data.datasets import BDADataset
+
+    rng = np.random.RandomState(2)
+    root = tmp_path / "xbd"
+    hw = (64, 64)
+    for sub in ("t1", "t2", "label1", "label2"):
+        os.makedirs(root / "train" / sub, exist_ok=True)
+    for i in range(2):
+        img = f"hurricane_{i}_pre_disaster.png"
+        tgt = f"hurricane_{i}_pre_disaster_target.png"
+        cv2.imwrite(str(root / "train" / "t1" / img), rng.randint(0, 255, hw + (3,), np.uint8))
+        cv2.imwrite(str(root / "train" / "t2" / img), rng.randint(0, 255, hw + (3,), np.uint8))
+        cv2.imwrite(str(root / "train" / "label1" / tgt), rng.randint(0, 2, hw, np.uint8))
+        cv2.imwrite(str(root / "train" / "label2" / tgt), rng.randint(0, 5, hw, np.uint8))
+    out = tmp_path / "xbd_patches"
+    rc = crop_main(["--in_root", str(root), "--out_root", str(out), "--size", "32"])
+    assert rc == 0
+    # Patch names keep each dir's own stem -> the rewrite lambda resolves.
+    assert sorted(os.listdir(out / "train" / "t1"))[0] == "hurricane_0_pre_disaster_0_0.png"
+    assert sorted(os.listdir(out / "train" / "label1"))[0] == (
+        "hurricane_0_pre_disaster_target_0_0.png"
+    )
+    ds = BDADataset(str(out), "train", None)
+    img, label = ds[0]
+    assert img.shape == (32, 32, 6)
+    assert label.shape == (32, 32, 2)
+
+
+def test_crop_rejects_count_and_size_mismatches(tmp_path):
+    root = tmp_path / "bad"
+    for sub in ("t1", "t2"):
+        os.makedirs(root / "train" / sub, exist_ok=True)
+    cv2.imwrite(str(root / "train" / "t1" / "a.png"), np.zeros((40, 40, 3), np.uint8))
+    with pytest.raises(ValueError, match="scene count"):
+        crop_main(["--in_root", str(root), "--out_root", str(tmp_path / "o1"), "--size", "32"])
+    cv2.imwrite(str(root / "train" / "t2" / "a.png"), np.zeros((40, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="misalign"):
+        crop_main(["--in_root", str(root), "--out_root", str(tmp_path / "o2"), "--size", "32"])
+
+
+def test_prepare_rejects_empty_sentence_list(tmp_path):
+    images_root, cap_path = _raw_corpus(tmp_path)
+    with open(cap_path) as f:
+        corpus = json.load(f)
+    corpus["images"][0]["sentences"] = []
+    with open(cap_path, "w") as f:
+        json.dump(corpus, f)
+    with pytest.raises(ValueError, match="no sentences"):
+        prepare(images_root, cap_path, str(tmp_path / "p"), name="X", cpi=5,
+                min_word_freq=0, max_len=10)
+
+
 def test_crop_skips_small_scene(tmp_path, capsys):
     root = tmp_path / "s"
     for sub in ("t1", "t2", "label"):

@@ -189,6 +189,20 @@ def test_http_serving_matches_direct_predictor(bcd_predictor):
         service.close()
 
 
+def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
+    """A Predictor-like source with a pinned batch must match --batch_size
+    up front, not 500 on every request."""
+    class Pinned:
+        fixed_batch = 8
+        model = bcd_predictor.model
+        predict = bcd_predictor.predict
+
+    with pytest.raises(ValueError, match="--batch_size 8"):
+        PredictService("bcd", Pinned(), batch_size=16)
+    svc = PredictService("bcd", Pinned(), batch_size=8)  # matching is fine
+    svc.close()
+
+
 def test_metrics_endpoint(bcd_predictor):
     service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
     httpd, url = _start(service)

@@ -10,8 +10,10 @@ datasets use:
     SCD  {root}/{train,val,test}/{t1,t2,label1,label2,change}/scene.png
     BDA  {root}/{train,val,test}/{t1,t2,label1,label2}/scene.png
 
-Every image directory under a split is cropped identically (same grid per
-scene name), so patch k of t1 aligns with patch k of t2 and of every label.
+Every image directory under a split is cropped identically; scenes are
+matched across modality dirs by sorted position (filenames may carry
+per-directory suffixes, e.g. xBD's `..._disaster_target.png` labels), so
+patch k of t1 aligns with patch k of t2 and of every label.
 Label folders (any directory whose name starts with "label" or equals
 "change") are written with nearest-neighbor semantics — no interpolation is
 performed anywhere; crops are pure slices.
@@ -43,6 +45,13 @@ def crop_scene(img, size: int, stride: int):
 
 
 def crop_split(in_split: str, out_split: str, size: int, stride: int) -> int:
+    """Scenes are matched ACROSS modality subdirs by sorted position, not by
+    identical filename — xBD-style labels carry a name suffix
+    ('..._disaster_target.png' next to t1's '..._disaster.png', the rewrite
+    BDADataset applies); a constant per-directory suffix preserves sorted
+    order, so position i is the same scene in every subdir. Each patch keeps
+    its own subdir's stem, so the dataset-side name rewrites keep working on
+    the cropped output."""
     import cv2
 
     subdirs = sorted(
@@ -51,14 +60,26 @@ def crop_split(in_split: str, out_split: str, size: int, stride: int) -> int:
     n_patches = 0
     for sub in subdirs:
         os.makedirs(os.path.join(out_split, sub), exist_ok=True)
-    names = sorted(os.listdir(os.path.join(in_split, subdirs[0])))
-    for name in names:
-        stem, ext = os.path.splitext(name)
+    listings = {sub: sorted(os.listdir(os.path.join(in_split, sub))) for sub in subdirs}
+    counts = {sub: len(v) for sub, v in listings.items()}
+    if len(set(counts.values())) != 1:
+        raise ValueError(f"{in_split}: modality dirs disagree on scene count: {counts}")
+    for i in range(counts[subdirs[0]]):
+        hw = None
         for sub in subdirs:
+            name = listings[sub][i]
+            stem, ext = os.path.splitext(name)
             path = os.path.join(in_split, sub, name)
             img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
             if img is None:
-                raise FileNotFoundError(f"{path} (every subdir must hold every scene)")
+                raise FileNotFoundError(f"{path} is not a readable image")
+            if hw is None:
+                hw = img.shape[:2]
+            elif img.shape[:2] != hw:
+                raise ValueError(
+                    f"{path}: {img.shape[:2]} != {hw} of its scene's first "
+                    "modality — crops would misalign"
+                )
             wrote = 0
             for y, x, patch in crop_scene(img, size, stride):
                 cv2.imwrite(os.path.join(out_split, sub, f"{stem}_{y}_{x}{ext}"), patch)

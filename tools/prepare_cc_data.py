@@ -122,6 +122,11 @@ def prepare(images_root: str, captions_path: str, out_dir: str, *, name: str = "
                 "images", (len(samples),) + first.shape, dtype="uint8"
             )
             for i, s in enumerate(samples):
+                if not s["sentences"]:
+                    raise ValueError(
+                        f"{split}/{s['filename']}: image has no sentences in "
+                        "the captions file"
+                    )
                 images[i] = first if i == 0 else _read_pair(images_root, split, s["filename"])
                 for sent in select_captions(s["sentences"], cpi, rng):
                     ids, length = encode(sent["tokens"], word_map, max_len)
