@@ -239,6 +239,10 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--quantized", action="store_true")
     srv.add_argument("--platform", default=None, choices=["cpu"],
                      help="force a JAX platform (e.g. cpu when no TPU link)")
+    srv.add_argument("--shard", action="store_true",
+                     help="spread each served batch over all local devices "
+                     "(1-D data mesh, params replicated); --batch_size must "
+                     "divide the device count")
 
     info = sub.add_parser(
         "info",
@@ -556,6 +560,12 @@ def run_serve(args):
     """Start the HTTP batching prediction service (change3d_tpu/serving.py)."""
     from change3d_tpu.serving import PredictService, serve_forever
 
+    if args.shard and args.artifact:
+        raise SystemExit(
+            "--shard applies to checkpoint-backed serving (artifacts bake "
+            "their own single-device program; export per device instead)"
+        )
+
     if args.model_task == "cc":
         ccfg, word_map = _cc_config_and_word_map(args)
         if args.artifact:
@@ -569,7 +579,7 @@ def run_serve(args):
             model = build_caption_model(ccfg, len(word_map), in_size=args.in_height)
             predictor = CaptionPredictor(
                 model, restore_best_variables(model, args.checkpoint), word_map,
-                beam_size=args.beam_size, embed_weights=True,
+                beam_size=args.beam_size, embed_weights=True, shard=args.shard,
             )
     elif args.artifact:
         from change3d_tpu.inference import ArtifactPredictor
@@ -585,7 +595,8 @@ def run_serve(args):
             packed=args.packed, fused=args.fused, quantized=args.quantized,
         )
         predictor = Predictor.from_checkpoint(
-            build_model(cfg), args.checkpoint, embed_weights=True
+            build_model(cfg), args.checkpoint, embed_weights=True,
+            shard=args.shard,
         )
     service = PredictService(
         args.model_task, predictor,

@@ -63,15 +63,35 @@ class Predictor:
         *,
         compute_dtype=jnp.bfloat16,
         embed_weights: bool = False,
+        shard: bool = False,
     ):
         """``embed_weights=True`` closes the weights over the jitted forward
         (serving mode): XLA sees them as compile-time constants, so the BN
         scale/shift vectors constant-fold into neighboring work instead of
         arriving as runtime parameters. Use for long-lived predictors whose
-        weights never change; leave off when variables will be swapped."""
+        weights never change; leave off when variables will be swapped.
+
+        ``shard=True`` spreads each batch over ALL local devices (1-D data
+        mesh, parameters replicated — the same GSPMD layout the training
+        engine uses): serving throughput scales with the chips on the host.
+        Batch size must divide the device count; the serving batcher's fixed
+        padded batches satisfy this by construction when --batch_size does.
+        Per-sample results are unchanged (eval BN, per-sample int8 scales)."""
         self.model = model
-        self.variables = variables
         self.compute_dtype = compute_dtype
+        self._put_batch = jnp.asarray
+        if shard:
+            from change3d_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            mesh = make_mesh()
+            bsh = batch_sharding(mesh)
+            variables = jax.device_put(variables, replicated_sharding(mesh))
+            self._put_batch = lambda arr: jax.device_put(jnp.asarray(arr), bsh)
+        self.variables = variables
         fwd = self._make_forward()
         if embed_weights:
             self._forward = jax.jit(lambda v, pre, post: fwd(variables, pre, post))
@@ -97,7 +117,7 @@ class Predictor:
         [B,h,w,1], class heads as softmax probabilities [B,h,w,C]. The
         blendable form tiled inference averages over overlaps."""
         return postprocess_probs(
-            self._forward(self.variables, jnp.asarray(pre), jnp.asarray(post))
+            self._forward(self.variables, self._put_batch(pre), self._put_batch(post))
         )
 
     @staticmethod
@@ -283,5 +303,7 @@ class CaptionPredictor(Predictor):
         return decode
 
     def caption(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
-        tokens, _ = self._decode(self.variables, jnp.asarray(pre), jnp.asarray(post))
+        tokens, _ = self._decode(
+            self.variables, self._put_batch(pre), self._put_batch(post)
+        )
         return tokens_to_captions(tokens, self.word_map)

@@ -58,6 +58,28 @@ def test_bcd_predictor_embed_weights_matches():
     assert emb.predict(a, b)["change"].shape == (2, H, W)
 
 
+def test_sharded_predictor_matches_single_device():
+    """shard=True spreads the batch over the 8-virtual-device mesh (params
+    replicated, batch sharded — the engine's GSPMD layout) with per-sample
+    results identical to the single-device path."""
+    import jax.numpy as jnp
+
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    variables = _init(model)
+    rng = np.random.RandomState(2)
+    a = rng.randn(8, H, W, 3).astype(np.float32)
+    b = rng.randn(8, H, W, 3).astype(np.float32)
+    base = Predictor(model, variables, compute_dtype=jnp.float32)
+    sharded = Predictor(model, variables, compute_dtype=jnp.float32, shard=True)
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    probs_b = base.predict_probs(a, b)["change"]
+    probs_s = sharded.predict_probs(a, b)["change"]
+    np.testing.assert_allclose(probs_s, probs_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        sharded.predict(a, b)["change"], base.predict(a, b)["change"]
+    )
+
+
 def test_scd_bda_predictors():
     rng = np.random.RandomState(0)
     a = rng.randn(2, H, W, 3).astype(np.float32)
