@@ -1,0 +1,94 @@
+"""Python client for the `cli serve` HTTP API (change3d_tpu/serving.py).
+
+Stdlib-only (urllib): callers that can't import the framework can still copy
+this one file next to their code. Images go in as numpy uint8 arrays or
+file paths; masks come back as numpy arrays, captions as strings.
+
+    from change3d_tpu.client import PredictClient
+    c = PredictClient("http://tpu-host:8000")
+    masks = c.predict("pre.png", "post.png")      # {"change": bool [H, W]}
+    print(c.health(), c.metrics())
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.request
+from typing import Dict, Union
+
+import numpy as np
+
+ImageLike = Union[str, np.ndarray]
+
+
+def _to_png_b64(img: ImageLike) -> str:
+    if isinstance(img, str):
+        with open(img, "rb") as f:
+            return base64.b64encode(f.read()).decode("ascii")
+    import cv2
+
+    ok, buf = cv2.imencode(".png", np.ascontiguousarray(img))
+    if not ok:
+        raise ValueError("png encode failed")
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def _from_png_b64(b64: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imdecode(
+        np.frombuffer(base64.b64decode(b64), np.uint8), cv2.IMREAD_UNCHANGED
+    )
+    if img is None:
+        raise ValueError("server returned an undecodable mask")
+    return img
+
+
+class PredictClient:
+    """Blocking client; share one instance across threads freely (each call
+    opens its own connection — the server batches concurrent requests)."""
+
+    def __init__(self, base_url: str, *, timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _get(self, path: str) -> dict:
+        with urllib.request.urlopen(self.base_url + path, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def health(self) -> dict:
+        return self._get("/healthz")
+
+    def metrics(self) -> dict:
+        return self._get("/metrics")
+
+    def predict(self, pre: ImageLike, post: ImageLike) -> Dict[str, Union[np.ndarray, str]]:
+        """Returns the task's masks as numpy arrays (bcd: {'change'};
+        scd: {'pre','post','change'}; bda: {'loc','cls'}) or, for a cc
+        server, {'caption': str}.
+
+        Send images AS STORED ON DISK (file path, or the uint8 array exactly
+        as cv2.imread returns it) — the server applies the task's channel
+        pins and normalization. Raises RuntimeError with the server's reason
+        on 4xx/5xx."""
+        body = json.dumps(
+            {"pre": _to_png_b64(pre), "post": _to_png_b64(post)}
+        ).encode()
+        req = urllib.request.Request(
+            self.base_url + "/v1/predict", body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                payload = json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            try:
+                reason = json.loads(e.read()).get("error", str(e))
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                reason = str(e)
+            raise RuntimeError(f"predict failed ({e.code}): {reason}") from e
+        return {
+            key: val if key == "caption" else _from_png_b64(val)
+            for key, val in payload.items()
+        }

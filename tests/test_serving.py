@@ -189,6 +189,39 @@ def test_http_serving_matches_direct_predictor(bcd_predictor):
         service.close()
 
 
+def test_predict_client_roundtrip(bcd_predictor, tmp_path):
+    """PredictClient (change3d_tpu/client.py) against a live server: array
+    and file-path inputs, health/metrics, and server-reason errors."""
+    from change3d_tpu.client import PredictClient
+
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        client = PredictClient(url)
+        assert client.health()["task"] == "bcd"
+
+        rng = np.random.RandomState(6)
+        pre = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        post = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        out = client.predict(pre, post)
+        assert out["change"].shape == (HW, HW)
+
+        # File-path input equals array input.
+        p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+        cv2.imwrite(p1, pre)
+        cv2.imwrite(p2, post)
+        np.testing.assert_array_equal(client.predict(p1, p2)["change"], out["change"])
+
+        assert client.metrics()["requests_total"] == 2
+
+        big = np.zeros((HW * 2, HW, 3), np.uint8)
+        with pytest.raises(RuntimeError, match="model expects"):
+            client.predict(big, big)
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     """A Predictor-like source with a pinned batch must match --batch_size
     up front, not 500 on every request."""
