@@ -169,6 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--quantized", action="store_true",
                       help="dynamic int8 MXU convs (serving-grade "
                       "approximate numerics; detection tasks)")
+    pred.add_argument("--shard", action="store_true",
+                      help="spread each batch over all local devices "
+                      "(detection tasks; batch_size must divide the count)")
 
     exp = sub.add_parser(
         "export",
@@ -671,7 +674,7 @@ def run_predict(args):
         quantized=args.quantized,
     )
     model = build_model(cfg)
-    predictor = Predictor.from_checkpoint(model, args.checkpoint)
+    predictor = Predictor.from_checkpoint(model, args.checkpoint, shard=args.shard)
     ds_cls = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}[args.model_task]
     os.makedirs(args.out, exist_ok=True)
 
