@@ -246,6 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="spread each served batch over all local devices "
                      "(1-D data mesh, params replicated); --batch_size must "
                      "divide the device count")
+    srv.add_argument("--no_warmup", action="store_true",
+                     help="skip the startup dummy batch (the first real "
+                     "request then pays the cold XLA compile)")
 
     info = sub.add_parser(
         "info",
@@ -605,6 +608,7 @@ def run_serve(args):
         args.model_task, predictor,
         batch_size=args.batch_size, max_delay_ms=args.max_delay_ms,
         tiled=args.tiled, tile_overlap=args.tile_overlap,
+        warmup=not args.no_warmup,
     )
     serve_forever(service, args.host, args.port)
 

@@ -225,6 +225,7 @@ class PredictService:
         max_delay_ms: float = 10.0,
         tiled: bool = False,
         tile_overlap: int = 32,
+        warmup: bool = False,
     ):
         self.task = task
         self.to_rgb = task != "bda"  # BDA trains on raw-cv2 BGR
@@ -266,6 +267,13 @@ class PredictService:
             self._batcher = _Batcher(
                 predict_batch, batch_size, max_delay_ms / 1000.0, stats=self.stats
             )
+        if warmup and not tiled and self.in_hw:
+            # One dummy full batch at startup so the first real client pays
+            # serving latency, not the cold XLA compile (minutes on a cold
+            # cache). Runs through the normal batcher/dispatch path.
+            z = np.zeros(self.in_hw + (3,), np.float32)
+            self._batcher.submit(z, z)
+            self.stats.__init__()  # don't count the warmup in /metrics
 
     def handle(self, body: dict) -> Dict[str, str]:
         norm = _normalize_cc if self.task == "cc" else _normalize

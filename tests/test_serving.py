@@ -236,6 +236,22 @@ def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     svc.close()
 
 
+def test_warmup_compiles_without_counting(bcd_predictor):
+    """warmup=True runs one dummy batch through the dispatch path at
+    construction (compile happens before the first client) and does not
+    show up in /metrics."""
+    service = PredictService("bcd", bcd_predictor, batch_size=2,
+                             max_delay_ms=1, warmup=True)
+    try:
+        snap = service.stats.snapshot()
+        assert snap["requests_total"] == 0 and snap["batches_total"] == 0
+        img = ((np.zeros((HW, HW, 3)) - 0.5) / 0.5).astype(np.float32)
+        out = service._batcher.submit(img, img)
+        assert out["change"].shape == (HW, HW)
+    finally:
+        service.close()
+
+
 def test_metrics_endpoint(bcd_predictor):
     service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
     httpd, url = _start(service)
