@@ -21,6 +21,11 @@ per-module as /root/reference/<file>:<line>):
   copy-pasted scripts.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from change3d_tpu import ops, models  # noqa: F401
+
+# Deployment surface (lazy heavy deps inside): Predictor/TiledPredictor/
+# CaptionPredictor + Artifact* wrappers live in change3d_tpu.inference,
+# HTTP serving in change3d_tpu.serving, the API client in
+# change3d_tpu.client, AOT export in change3d_tpu.export.
