@@ -582,7 +582,21 @@ def run_serve(args):
             from change3d_tpu.inference import CaptionPredictor, restore_best_variables
             from change3d_tpu.train.caption_loop import build_caption_model
 
-            model = build_caption_model(ccfg, len(word_map), in_size=args.in_height)
+            backbone = None
+            if args.packed or args.fused or args.quantized:
+                import dataclasses as _dc
+
+                from change3d_tpu.models.x3d import x3d_l_config
+
+                backbone = _dc.replace(
+                    x3d_l_config(),
+                    packed_eval_stages=(0,) if args.packed else (),
+                    fused_inference=args.fused,
+                    quantized_eval=args.quantized,
+                )
+            model = build_caption_model(
+                ccfg, len(word_map), in_size=args.in_height, backbone_cfg=backbone
+            )
             predictor = CaptionPredictor(
                 model, restore_best_variables(model, args.checkpoint), word_map,
                 beam_size=args.beam_size, embed_weights=True, shard=args.shard,

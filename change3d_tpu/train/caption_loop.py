@@ -98,7 +98,11 @@ def load_word_map(cfg: CaptionRunConfig) -> Dict[str, int]:
         return json.load(f)
 
 
-def build_caption_model(cfg: CaptionRunConfig, vocab_size: int, in_size: int = 256) -> Change3D:
+def build_caption_model(
+    cfg: CaptionRunConfig, vocab_size: int, in_size: int = 256, backbone_cfg=None
+) -> Change3D:
+    """``backbone_cfg`` overrides the default X3D-L (e.g. quantized_eval /
+    packed_eval_stages for serving); None keeps reference-exact execution."""
     return Change3D(
         task=Task.CC,
         vocab_size=vocab_size,
@@ -108,6 +112,7 @@ def build_caption_model(cfg: CaptionRunConfig, vocab_size: int, in_size: int = 2
         dropout=cfg.dropout,
         in_height=in_size,
         in_width=in_size,
+        backbone_cfg=backbone_cfg,
     )
 
 

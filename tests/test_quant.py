@@ -158,6 +158,30 @@ def test_quantized_param_tree_identical():
     )
 
 
+def test_quantized_caption_encoder_decodes():
+    """The CC encoder honors quantized_eval too (cc serve --quantized):
+    beam decode over the int8 backbone returns well-formed sentences."""
+    from change3d_tpu.inference import CaptionPredictor
+
+    vocab = {"<pad>": 0, "<unk>": 1, "<start>": 2, "<end>": 3, "a": 4, "b": 5}
+    quant = dataclasses.replace(TINY_CFG, quantized_eval=True)
+    model = Change3D(task=Task.CC, vocab_size=len(vocab), embed_dim=32,
+                     num_heads=4, num_layers=1, backbone_cfg=quant,
+                     in_height=32, in_width=32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x,
+                           captions=jnp.zeros((1, 4), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    p = CaptionPredictor(model, variables, vocab, beam_size=2,
+                         compute_dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    caps = p.caption(rng.randn(2, 32, 32, 3).astype(np.float32),
+                     rng.randn(2, 32, 32, 3).astype(np.float32))
+    assert len(caps) == 2
+    assert all(w in ("a", "b", "<unk>") for c in caps for w in c.split())
+
+
 def test_quantized_ignored_at_train_time():
     """train=True must take the exact fp32 path even with quantized_eval on
     (training numerics are reference-pinned)."""
