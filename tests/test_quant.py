@@ -158,6 +158,28 @@ def test_quantized_param_tree_identical():
     )
 
 
+def test_quantized_under_scanned_pairs():
+    """X3D-L runs its stage interiors as nn.scan'd block PAIRS with stacked
+    params; quantization must work inside the scan body too (weight scales
+    computed per scan step from the stacked slice)."""
+    deep = dataclasses.replace(TINY_CFG, stage_depths=(1, 3, 1, 1))  # n_pairs=1
+    assert deep.scan_blocks
+    quant = dataclasses.replace(deep, quantized_eval=True)
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=deep)
+    rng = np.random.RandomState(8)
+    pre = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    post = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pre, post)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    p_fp32 = _bcd_forward(deep, variables, pre, post)
+    p_int8 = _bcd_forward(quant, variables, pre, post)
+    assert np.abs(p_int8 - p_fp32).max() < 0.1
+    confident = np.abs(p_fp32 - 0.5) > 0.05
+    assert ((p_int8 > 0.5) == (p_fp32 > 0.5))[confident].mean() > 0.995
+
+
 def test_quantized_caption_encoder_decodes():
     """The CC encoder honors quantized_eval too (cc serve --quantized):
     beam decode over the int8 backbone returns well-formed sentences."""
