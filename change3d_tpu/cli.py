@@ -171,7 +171,8 @@ def build_parser() -> argparse.ArgumentParser:
                       "approximate numerics; detection tasks)")
     pred.add_argument("--shard", action="store_true",
                       help="spread each batch over all local devices "
-                      "(detection tasks; batch_size must divide the count)")
+                      "(detection tasks; batch_size must be a multiple of "
+                      "the device count)")
 
     exp = sub.add_parser(
         "export",
@@ -245,7 +246,7 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--shard", action="store_true",
                      help="spread each served batch over all local devices "
                      "(1-D data mesh, params replicated); --batch_size must "
-                     "divide the device count")
+                     "be a multiple of the device count")
     srv.add_argument("--no_warmup", action="store_true",
                      help="skip the startup dummy batch (the first real "
                      "request then pays the cold XLA compile)")

@@ -1,12 +1,15 @@
 """Python client for the `cli serve` HTTP API (change3d_tpu/serving.py).
 
-Stdlib-only (urllib): callers that can't import the framework can still copy
-this one file next to their code. Images go in as numpy uint8 arrays or
-file paths; masks come back as numpy arrays, captions as strings.
+No framework/JAX imports — only numpy + opencv beyond the stdlib, so this
+one file can be vendored next to consumer code. Images go in as numpy
+uint8 arrays or file paths; masks come back as numpy uint8 arrays
+(binary heads are {0, 255} PNGs, class heads are class ids), captions as
+strings.
 
     from change3d_tpu.client import PredictClient
     c = PredictClient("http://tpu-host:8000")
-    masks = c.predict("pre.png", "post.png")      # {"change": bool [H, W]}
+    masks = c.predict("pre.png", "post.png")   # {"change": uint8 {0,255}}
+    changed_frac = (masks["change"] > 0).mean()
     print(c.health(), c.metrics())
 """
 
@@ -64,9 +67,10 @@ class PredictClient:
         return self._get("/metrics")
 
     def predict(self, pre: ImageLike, post: ImageLike) -> Dict[str, Union[np.ndarray, str]]:
-        """Returns the task's masks as numpy arrays (bcd: {'change'};
-        scd: {'pre','post','change'}; bda: {'loc','cls'}) or, for a cc
-        server, {'caption': str}.
+        """Returns the task's masks as numpy uint8 arrays exactly as the
+        server PNG-encodes them — binary heads {0, 255} (bcd/scd 'change',
+        bda 'loc'), class heads class ids (scd 'pre'/'post', bda 'cls') —
+        or, for a cc server, {'caption': str}.
 
         Send images AS STORED ON DISK (file path, or the uint8 array exactly
         as cv2.imread returns it) — the server applies the task's channel

@@ -74,9 +74,10 @@ class Predictor:
         ``shard=True`` spreads each batch over ALL local devices (1-D data
         mesh, parameters replicated — the same GSPMD layout the training
         engine uses): serving throughput scales with the chips on the host.
-        Batch size must divide the device count; the serving batcher's fixed
-        padded batches satisfy this by construction when --batch_size does.
-        Per-sample results are unchanged (eval BN, per-sample int8 scales)."""
+        The device count must divide the batch size; the serving batcher's
+        fixed padded batches satisfy this whenever --batch_size is a
+        multiple of the chip count. Per-sample results are unchanged
+        (eval BN, per-sample int8 scales)."""
         self.model = model
         self.compute_dtype = compute_dtype
         self._put_batch = jnp.asarray
@@ -90,7 +91,9 @@ class Predictor:
             mesh = make_mesh()
             bsh = batch_sharding(mesh)
             variables = jax.device_put(variables, replicated_sharding(mesh))
-            self._put_batch = lambda arr: jax.device_put(jnp.asarray(arr), bsh)
+            # device_put straight from host memory: jnp.asarray first would
+            # stage the whole batch on device 0 before resharding.
+            self._put_batch = lambda arr: jax.device_put(arr, bsh)
         self.variables = variables
         fwd = self._make_forward()
         if embed_weights:

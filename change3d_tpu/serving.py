@@ -63,9 +63,15 @@ class _Stats:
             self.batched_requests_total += fill
 
     def snapshot(self) -> dict:
+        import math
+
         with self._lock:
             lat = sorted(self._latencies)
-            q = lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 4) if lat else None
+            # Nearest-rank percentile: ceil(p*n)-1 (int(p*n) overshoots —
+            # p50 of [a, b] must be a, not b).
+            q = lambda p: (
+                round(lat[max(0, math.ceil(p * len(lat)) - 1)], 4) if lat else None
+            )
             return {
                 "requests_total": self.requests_total,
                 "errors_total": self.errors_total,
@@ -318,6 +324,12 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
     """Build (not start) a ThreadingHTTPServer around a PredictService."""
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket-op timeout: a half-open connection (port scan, stalled
+        # client) must not pin a non-daemon handler thread forever — that
+        # would hang the SIGTERM drain, which joins handler threads. Compute
+        # waits (batcher.submit) are not socket ops and are unaffected.
+        timeout = 120
+
         def _reply(self, code: int, payload: dict):
             data = json.dumps(payload).encode()
             self.send_response(code)

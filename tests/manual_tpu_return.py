@@ -36,12 +36,20 @@ STEPS = [
 
 
 def run(cmd, timeout=3600):
-    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    try:
+        r = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"step exceeded {timeout}s (relay stall?)"}
     line = (r.stdout.strip().splitlines() or [""])[-1]
     try:
-        return json.loads(line)
+        rec = json.loads(line)
     except json.JSONDecodeError:
         return {"error": f"rc={r.returncode}, no JSON tail: {line[-200:]!r}"}
+    if r.returncode != 0 and "error" not in rec:
+        rec["error"] = f"rc={r.returncode}: {r.stderr.strip()[-200:]}"
+    return rec
 
 
 def main() -> int:

@@ -204,21 +204,30 @@ def test_crop_bda_layout_with_target_suffix(tmp_path):
     hw = (64, 64)
     for sub in ("t1", "t2", "label1", "label2"):
         os.makedirs(root / "train" / sub, exist_ok=True)
-    for i in range(2):
+    # Scene ids 1 and 10: '.'<'0'<'_' makes plain-vs-'_target' names sort in
+    # DIFFERENT orders across dirs — positional matching would misalign them.
+    labels = {}
+    for i in (1, 10):
         img = f"hurricane_{i}_pre_disaster.png"
         tgt = f"hurricane_{i}_pre_disaster_target.png"
         cv2.imwrite(str(root / "train" / "t1" / img), rng.randint(0, 255, hw + (3,), np.uint8))
         cv2.imwrite(str(root / "train" / "t2" / img), rng.randint(0, 255, hw + (3,), np.uint8))
-        cv2.imwrite(str(root / "train" / "label1" / tgt), rng.randint(0, 2, hw, np.uint8))
+        labels[i] = np.full(hw, i, np.uint8)  # content identifies the scene
+        cv2.imwrite(str(root / "train" / "label1" / tgt), labels[i])
         cv2.imwrite(str(root / "train" / "label2" / tgt), rng.randint(0, 5, hw, np.uint8))
     out = tmp_path / "xbd_patches"
     rc = crop_main(["--in_root", str(root), "--out_root", str(out), "--size", "32"])
     assert rc == 0
     # Patch names keep each dir's own stem -> the rewrite lambda resolves.
-    assert sorted(os.listdir(out / "train" / "t1"))[0] == "hurricane_0_pre_disaster_0_0.png"
-    assert sorted(os.listdir(out / "train" / "label1"))[0] == (
-        "hurricane_0_pre_disaster_target_0_0.png"
-    )
+    assert "hurricane_1_pre_disaster_0_0.png" in os.listdir(out / "train" / "t1")
+    assert "hurricane_1_pre_disaster_target_0_0.png" in os.listdir(out / "train" / "label1")
+    # Key-based matching: each cropped label carries ITS scene's content.
+    for i in (1, 10):
+        got = cv2.imread(
+            str(out / "train" / "label1" / f"hurricane_{i}_pre_disaster_target_0_0.png"),
+            cv2.IMREAD_UNCHANGED,
+        )
+        np.testing.assert_array_equal(got, labels[i][:32, :32])
     ds = BDADataset(str(out), "train", None)
     img, label = ds[0]
     assert img.shape == (32, 32, 6)
@@ -230,7 +239,7 @@ def test_crop_rejects_count_and_size_mismatches(tmp_path):
     for sub in ("t1", "t2"):
         os.makedirs(root / "train" / sub, exist_ok=True)
     cv2.imwrite(str(root / "train" / "t1" / "a.png"), np.zeros((40, 40, 3), np.uint8))
-    with pytest.raises(ValueError, match="scene count"):
+    with pytest.raises(ValueError, match="disagree on scenes"):
         crop_main(["--in_root", str(root), "--out_root", str(tmp_path / "o1"), "--size", "32"])
     cv2.imwrite(str(root / "train" / "t2" / "a.png"), np.zeros((40, 64, 3), np.uint8))
     with pytest.raises(ValueError, match="misalign"):

@@ -236,6 +236,21 @@ def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     svc.close()
 
 
+def test_stats_percentiles_nearest_rank():
+    from change3d_tpu.serving import _Stats
+
+    s = _Stats()
+    s.record_request(0.010, ok=True)
+    s.record_request(0.900, ok=True)
+    snap = s.snapshot()
+    assert snap["latency_s"]["p50"] == 0.010  # not the max of two samples
+    assert snap["latency_s"]["p99"] == 0.900
+    for ms in range(1, 101):
+        s.record_request(ms / 1000.0, ok=True)
+    snap = s.snapshot()
+    assert snap["latency_s"]["p50"] <= 0.051
+
+
 def test_warmup_compiles_without_counting(bcd_predictor):
     """warmup=True runs one dummy batch through the dispatch path at
     construction (compile happens before the first client) and does not

@@ -11,9 +11,9 @@ datasets use:
     BDA  {root}/{train,val,test}/{t1,t2,label1,label2}/scene.png
 
 Every image directory under a split is cropped identically; scenes are
-matched across modality dirs by sorted position (filenames may carry
-per-directory suffixes, e.g. xBD's `..._disaster_target.png` labels), so
-patch k of t1 aligns with patch k of t2 and of every label.
+matched across modality dirs by canonical scene key (stem with an
+xBD-style `_target` label suffix stripped), so patch k of t1 aligns with
+patch k of t2 and of every label even when label filenames differ.
 Label folders (any directory whose name starts with "label" or equals
 "change") are written with nearest-neighbor semantics — no interpolation is
 performed anywhere; crops are pure slices.
@@ -44,14 +44,22 @@ def crop_scene(img, size: int, stride: int):
             yield y, x, img[y : y + size, x : x + size]
 
 
+def scene_key(name: str) -> str:
+    """Canonical scene id of a filename: the stem with an xBD-style
+    '_target' label suffix stripped ('x_pre_disaster_target.png' and
+    'x_pre_disaster.png' are the same scene — the rewrite BDADataset
+    applies); BCD/SCD names are their own key."""
+    stem = os.path.splitext(name)[0]
+    return stem[: -len("_target")] if stem.endswith("_target") else stem
+
+
 def crop_split(in_split: str, out_split: str, size: int, stride: int) -> int:
-    """Scenes are matched ACROSS modality subdirs by sorted position, not by
-    identical filename — xBD-style labels carry a name suffix
-    ('..._disaster_target.png' next to t1's '..._disaster.png', the rewrite
-    BDADataset applies); a constant per-directory suffix preserves sorted
-    order, so position i is the same scene in every subdir. Each patch keeps
-    its own subdir's stem, so the dataset-side name rewrites keep working on
-    the cropped output."""
+    """Scenes are matched ACROSS modality subdirs by canonical scene key
+    (see scene_key) — NOT by sorted position, which per-directory suffixes
+    break (e.g. 'storm_1' sorts before 'storm_10' in t1 but after it with
+    '_target' appended). Missing/extra scenes in any dir are a hard error.
+    Each patch keeps its own subdir's stem, so the dataset-side name
+    rewrites keep working on the cropped output."""
     import cv2
 
     subdirs = sorted(
@@ -60,14 +68,27 @@ def crop_split(in_split: str, out_split: str, size: int, stride: int) -> int:
     n_patches = 0
     for sub in subdirs:
         os.makedirs(os.path.join(out_split, sub), exist_ok=True)
-    listings = {sub: sorted(os.listdir(os.path.join(in_split, sub))) for sub in subdirs}
-    counts = {sub: len(v) for sub, v in listings.items()}
-    if len(set(counts.values())) != 1:
-        raise ValueError(f"{in_split}: modality dirs disagree on scene count: {counts}")
-    for i in range(counts[subdirs[0]]):
+    by_key = {}
+    for sub in subdirs:
+        names = {}
+        for name in os.listdir(os.path.join(in_split, sub)):
+            key = scene_key(name)
+            if key in names:
+                raise ValueError(f"{in_split}/{sub}: duplicate scene key {key!r}")
+            names[key] = name
+        by_key[sub] = names
+    keys = set(by_key[subdirs[0]])
+    for sub in subdirs[1:]:
+        if set(by_key[sub]) != keys:
+            diff = keys.symmetric_difference(by_key[sub])
+            raise ValueError(
+                f"{in_split}: {subdirs[0]} and {sub} disagree on scenes: "
+                f"{sorted(diff)[:5]}"
+            )
+    for key in sorted(keys):
         hw = None
         for sub in subdirs:
-            name = listings[sub][i]
+            name = by_key[sub][key]
             stem, ext = os.path.splitext(name)
             path = os.path.join(in_split, sub, name)
             img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
