@@ -158,6 +158,32 @@ def test_quantized_param_tree_identical():
     )
 
 
+def test_quantized_embed_weights_matches():
+    """The production serving combo — quantized_eval + embed_weights (weight
+    int8 scales constant-fold at compile time) — matches the
+    parameter-passing quantized path exactly."""
+    from change3d_tpu.inference import Predictor
+
+    quant = dataclasses.replace(TINY_CFG, quantized_eval=True)
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=quant)
+    rng = np.random.RandomState(9)
+    pre = rng.randn(2, 32, 32, 3).astype(np.float32)
+    post = rng.randn(2, 32, 32, 3).astype(np.float32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    base = Predictor(model, variables, compute_dtype=jnp.float32)
+    emb = Predictor(model, variables, compute_dtype=jnp.float32,
+                    embed_weights=True)
+    np.testing.assert_allclose(
+        emb.predict_probs(pre, post)["change"],
+        base.predict_probs(pre, post)["change"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_quantized_under_scanned_pairs():
     """X3D-L runs its stage interiors as nn.scan'd block PAIRS with stacked
     params; quantization must work inside the scan body too (weight scales
