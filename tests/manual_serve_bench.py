@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--shard", action="store_true",
+                    help="spread each served batch over all local devices")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
 
@@ -62,7 +64,7 @@ def main() -> int:
     variables = model.init(jax.random.PRNGKey(0), x, x)
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
-    predictor = Predictor(model, variables, embed_weights=True)
+    predictor = Predictor(model, variables, embed_weights=True, shard=args.shard)
 
     service = PredictService("bcd", predictor, batch_size=args.batch, max_delay_ms=20)
     httpd = make_server(service, host="127.0.0.1", port=0)
@@ -96,7 +98,7 @@ def main() -> int:
         "served_pairs_per_sec": round(args.requests / dt, 2),
         "hw": args.hw, "batch": args.batch, "requests": args.requests,
         "clients": args.clients, "packed": args.packed,
-        "quantized": args.quantized,
+        "quantized": args.quantized, "shard": args.shard,
     }))
     return 0
 
