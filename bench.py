@@ -112,18 +112,30 @@ def main():
     #   neighboring work instead of runtime parameters.
     # - "int8": dynamic int8 quantization of the MXU convs (ops/quant.py) —
     #   approximate numerics, serving path.
+    # - "int8s": STATIC int8 — activation scales calibrated on two random
+    #   batches then frozen, so the quantize has no runtime reduction.
     flags = set(sys.argv[3:])
     fused = "fused" in flags
     embed = "embed" in flags
     backbone = dataclasses.replace(
         x3d_l_config(), packed_eval_stages=stages, fused_inference=fused,
-        quantized_eval="int8" in flags,
+        quantized_eval=("int8" in flags) or ("int8s" in flags),
+        quant_mode="static" if "int8s" in flags else "dynamic",
     )
     model = Change3D(task=Task.BCD, in_height=256, in_width=256, backbone_cfg=backbone)
     rng = jax.random.PRNGKey(0)
     pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     post = jax.random.normal(jax.random.PRNGKey(2), (batch, 256, 256, 3), jnp.bfloat16)
     variables = model.init(rng, pre, post)
+    if "int8s" in flags:
+        from change3d_tpu.inference import calibrate_quant_scales
+
+        calib = [
+            (jax.random.normal(jax.random.PRNGKey(3 + i), pre.shape, jnp.bfloat16),
+             jax.random.normal(jax.random.PRNGKey(30 + i), post.shape, jnp.bfloat16))
+            for i in range(2)
+        ]
+        variables = {**variables, "quant": calibrate_quant_scales(model, variables, calib)}
 
     def chained(variables, pre, post, n):
         def body(carry, _):

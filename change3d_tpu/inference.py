@@ -55,6 +55,45 @@ def postprocess_probs(out) -> Dict[str, np.ndarray]:
     return result
 
 
+def calibrate_quant_scales(model: Change3D, variables, batches) -> dict:
+    """Record static int8 activation ranges for a quantized model.
+
+    ``model``'s backbone must have ``quantized_eval=True`` (any quant_mode —
+    a 'calibrate'-mode twin is built internally); ``batches`` yields
+    (pre, post) pairs. Returns the 'quant' variable collection (per-site
+    max-abs) to merge into the serving variables:
+
+        scales = calibrate_quant_scales(model_static, variables, batches)
+        Predictor(model_static, {**variables, "quant": scales})
+
+    Calibrate in the SAME packed/fused configuration you serve with — the
+    quantized conv sites differ between layouts.
+    """
+    import dataclasses as _dc
+
+    from change3d_tpu.models.x3d import x3d_l_config
+
+    cfg = _dc.replace(
+        model.backbone_cfg or x3d_l_config(),
+        quantized_eval=True, quant_mode="calibrate",
+    )
+    calib = model.clone(backbone_cfg=cfg)
+    qvars: dict = {}
+    for pre, post in batches:
+        inputs = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        if qvars:
+            inputs["quant"] = qvars
+        _, mut = calib.apply(
+            inputs, jnp.asarray(pre), jnp.asarray(post), train=False,
+            mutable=["quant"],
+        )
+        qvars = mut["quant"]
+    if not qvars:
+        raise ValueError("calibration saw no batches")
+    return qvars
+
+
 class Predictor:
     def __init__(
         self,
@@ -78,6 +117,13 @@ class Predictor:
         fixed padded batches satisfy this whenever --batch_size is a
         multiple of the chip count. Per-sample results are unchanged
         (eval BN, per-sample int8 scales)."""
+        bb = getattr(model, "backbone_cfg", None)
+        if (bb is not None and bb.quantized_eval and bb.quant_mode == "static"
+                and "quant" not in variables):
+            raise ValueError(
+                "static quant_mode needs calibrated scales: merge "
+                "calibrate_quant_scales(...) into variables as 'quant'"
+            )
         self.model = model
         self.compute_dtype = compute_dtype
         self._put_batch = jnp.asarray

@@ -117,6 +117,15 @@ class X3DConfig:
     # Same parameter tree (weights quantize at trace time); inference only.
     # Takes precedence over fused_inference on eligible blocks.
     quantized_eval: bool = False
+    # Activation-scale regime for quantized_eval:
+    #   'dynamic'   per-sample scales computed on the fly (no calibration);
+    #   'calibrate' fp32 forward that RECORDS per-site max-abs into the
+    #               mutable 'quant' variable collection;
+    #   'static'    frozen calibrated scales — the quantize becomes pure
+    #               elementwise with constant scale (fuses into the producer
+    #               epilogue; no runtime reduction). Requires a prior
+    #               calibrate pass in the SAME packed/fused configuration.
+    quant_mode: str = "dynamic"
 
     def se_reduced_dim(self, stage_idx: int) -> int:
         return round_width(self.stage_inner_dims[stage_idx], self.se_ratio)
@@ -279,6 +288,16 @@ class X3DBottleneck(nn.Module):
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     quantized: bool = False  # int8 MXU convs at eval (ops/quant.py)
+    quant_mode: str = "dynamic"  # 'dynamic' | 'calibrate' | 'static'
+
+    def _quant_sites(self, sites):
+        """Per-site calibrated max-abs variables ('quant' collection); only
+        materialized for the static/calibrate regimes so the dynamic path
+        keeps the plain variable tree."""
+        return {
+            k: self.variable("quant", f"amax_{k}", lambda: jnp.zeros((), jnp.float32))
+            for k in sites
+        }
 
     @nn.compact
     def __call__(
@@ -304,16 +323,30 @@ class X3DBottleneck(nn.Module):
 
             t = packed_t
             s = self.stride[1]
-            if self.quantized and not train:
+            qmode = self.quant_mode if (self.quantized and not train) else None
+            if qmode:
                 from change3d_tpu.ops import quant
+            amax = (
+                self._quant_sites(("a", "b", "c"))
+                if qmode in ("static", "calibrate") else None
+            )
 
-                conv2d_p = quant.conv2d_int8
-            else:
-                conv2d_p = pk.conv2d_packed
-            h = conv2d_p(x, pk.expand_pointwise(conv_a, t))
+            def conv2d_p(h, w, site, *, stride=1, padding=0):
+                if qmode == "dynamic":
+                    return quant.conv2d_int8(h, w, stride=stride, padding=padding)
+                if qmode == "calibrate":
+                    v = amax[site]
+                    v.value = jnp.maximum(v.value, quant.batch_amax(h))
+                elif qmode == "static":
+                    return quant.conv2d_int8_static(
+                        h, w, amax[site].value, stride=stride, padding=padding
+                    )
+                return pk.conv2d_packed(h, w, stride=stride, padding=padding)
+
+            h = conv2d_p(x, pk.expand_pointwise(conv_a, t), "a")
             h = jax.nn.relu(bn("bn_a")(h, use_running_average=not train, packed_t=t))
             conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
-            h = conv2d_p(h, pk.expand_depthwise(conv_b[:, :, :, 0, :], t), stride=s, padding=1)
+            h = conv2d_p(h, pk.expand_depthwise(conv_b[:, :, :, 0, :], t), "b", stride=s, padding=1)
             h = bn("bn_b")(h, use_running_average=not train, packed_t=t)
             if self.se_reduced_dim > 0:
                 w_r, b_r, w_e, b_e = SqueezeExcite(
@@ -322,7 +355,7 @@ class X3DBottleneck(nn.Module):
                 h = pk.se_packed(h, w_r, b_r, w_e, b_e, t)
             h = swish(h)
             conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-            h = conv2d_p(h, pk.expand_pointwise(conv_c, t))
+            h = conv2d_p(h, pk.expand_pointwise(conv_c, t), "c")
             return bn("bn_c")(h, use_running_average=not train, packed_t=t)
 
         if fused_residual:
@@ -349,13 +382,25 @@ class X3DBottleneck(nn.Module):
                 return fused_bottleneck_block_htiled(*args, h_tile=16)
             return fused_bottleneck_block(*args)
 
-        if self.quantized and not train:
+        qmode = self.quant_mode if (self.quantized and not train) else None
+        if qmode:
             from change3d_tpu.ops import quant
+        amax = (
+            self._quant_sites(("a", "c"))
+            if qmode in ("static", "calibrate") else None
+        )
 
-            pw = quant.pointwise_conv3d_int8
-        else:
-            pw = pointwise_conv3d
-        x = pw(x, conv_a)
+        def pw(h, w, site):
+            if qmode == "dynamic":
+                return quant.pointwise_conv3d_int8(h, w)
+            if qmode == "calibrate":
+                v = amax[site]
+                v.value = jnp.maximum(v.value, quant.batch_amax(h))
+            elif qmode == "static":
+                return quant.pointwise_conv3d_int8_static(h, w, amax[site].value)
+            return pointwise_conv3d(h, w)
+
+        x = pw(x, conv_a, "a")
         x = jax.nn.relu(bn("bn_a")(x, use_running_average=not train))
 
         conv_b = self.param("conv_b", torch_conv_kernel_init, (3, 3, 3, 1, self.dim_inner))
@@ -366,7 +411,7 @@ class X3DBottleneck(nn.Module):
         x = swish(x)
 
         conv_c = self.param("conv_c", torch_conv_kernel_init, (self.dim_inner, self.dim_out))
-        x = pw(x, conv_c)
+        x = pw(x, conv_c, "c")
         return bn("bn_c")(x, use_running_average=not train)
 
 
@@ -388,6 +433,7 @@ class X3DResBlock(nn.Module):
     fused_inference: bool = False
     fused_htiled: bool = False
     quantized: bool = False
+    quant_mode: str = "dynamic"
 
     # Per-sample VMEM budget for the fused kernel's padded inner tensor (f32).
     # 6 MB admits stage 3 at 256^2 inputs ((3+2)*34*34*216*4 = 4.99 MB), which
@@ -416,7 +462,8 @@ class X3DResBlock(nn.Module):
                 return X3DBottleneck(
                     self.dim_in, self.dim_inner, self.dim_out, self.stride,
                     self.se_reduced_dim, self.bn_momentum, self.bn_eps,
-                    quantized=self.quantized, name="bottleneck",
+                    quantized=self.quantized, quant_mode=self.quant_mode,
+                    name="bottleneck",
                 )(x, train=False, fused_residual=mode)
         needs_proj = self.dim_in != self.dim_out or any(s > 1 for s in self.stride)
         shortcut = x
@@ -447,6 +494,7 @@ class X3DResBlock(nn.Module):
             self.bn_momentum,
             self.bn_eps,
             quantized=self.quantized,
+            quant_mode=self.quant_mode,
             name="bottleneck",
         )(x, train=train, packed_t=packed_t)
         return jax.nn.relu(shortcut + branch)
@@ -466,6 +514,7 @@ class BlockPair(nn.Module):
     fused_htiled: bool = False
     packed_t: int = 0
     quantized: bool = False
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x, _):
@@ -475,6 +524,7 @@ class BlockPair(nn.Module):
             fused_inference=self.fused_inference,
             fused_htiled=self.fused_htiled,
             quantized=self.quantized,
+            quant_mode=self.quant_mode,
         )
         x = X3DResBlock(se_reduced_dim=0, name="a", **common)(
             x, train=self.train, packed_t=self.packed_t
@@ -541,6 +591,7 @@ class X3DStage(nn.Module):
                 fused_inference=cfg.fused_inference,
                 fused_htiled=cfg.fused_htiled,
                 quantized=cfg.quantized_eval,
+                quant_mode=cfg.quant_mode,
                 name=f"block{b}",
             )
 
@@ -559,13 +610,13 @@ class X3DStage(nn.Module):
             pair_cls = nn.remat(BlockPair) if cfg.remat else BlockPair
             scanned = nn.scan(
                 pair_cls,
-                variable_axes={"params": 0, "batch_stats": 0},
+                variable_axes={"params": 0, "batch_stats": 0, "quant": 0},
                 split_rngs={"params": True},
                 length=n_pairs,
             )(
                 dim_out, dim_inner, se_dim, cfg.bn_momentum, cfg.bn_eps, train,
                 cfg.fused_inference, cfg.fused_htiled, packed_t,
-                cfg.quantized_eval,
+                cfg.quantized_eval, cfg.quant_mode,
                 name="pairs",
             )
             x, _ = scanned(x, None)

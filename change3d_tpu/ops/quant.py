@@ -8,9 +8,14 @@ implements *dynamic* symmetric quantization:
 - weights: per-output-channel int8 scales, computed at trace time from the
   trained fp32 parameters (no separate quantized checkpoint; under serving
   ``embed`` mode they fold to compile-time constants);
-- activations: per-SAMPLE per-tensor int8 scales computed on the fly
-  (one max-abs reduction), so no calibration dataset is needed and each
-  sample's result is independent of its batch neighbors.
+- activations, two regimes (X3DConfig.quant_mode):
+  * 'dynamic' — per-SAMPLE per-tensor scales computed on the fly (one
+    max-abs reduction); no calibration dataset, batch-independent results;
+  * 'static' — per-site scales recorded once by a 'calibrate' fp32 pass
+    (inference.calibrate_quant_scales) and frozen into the 'quant'
+    variable collection: the quantize becomes pure elementwise with a
+    constant scale, which XLA fuses into the producer's epilogue — no
+    runtime reduction on the hot path (out-of-range activations saturate).
 
 Only MXU-shaped ops are quantized (pointwise 1x1x1 convs and the packed
 dense banded convs of ops/packed.py). The depthwise 3x3x3 convs stay bf16:
@@ -61,6 +66,54 @@ def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax, _EPS) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_act_static(x: jax.Array, amax) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-tensor int8 quantization with a PRE-CALIBRATED range.
+
+    ``amax`` is a scalar recorded by a calibration pass; out-of-range
+    activations saturate. Unlike :func:`quantize_act` there is no runtime
+    reduction — the quantize is pure elementwise with a constant scale, so
+    XLA fuses it into the producer's epilogue (zero extra HBM passes)."""
+    scale = jnp.maximum(amax.astype(jnp.float32), _EPS) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def pointwise_conv3d_int8_static(x: jax.Array, kernel: jax.Array, amax) -> jax.Array:
+    """Static-scale variant of :func:`pointwise_conv3d_int8`."""
+    wq, ws = quantize_weight(kernel, channel_axis=1)
+    xq, xs = quantize_act_static(x, amax)
+    y = lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws[0])).astype(x.dtype)
+
+
+def conv2d_int8_static(
+    x: jax.Array,
+    kernel: jax.Array,
+    amax,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Static-scale variant of :func:`conv2d_int8`."""
+    wq, ws = quantize_weight(kernel, channel_axis=3)
+    xq, xs = quantize_act_static(x, amax)
+    y = lax.conv_general_dilated(
+        xq, wq, (stride, stride), ((padding, padding),) * 2,
+        dimension_numbers=_DN2D,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws[0, 0])).astype(x.dtype)
+
+
+def batch_amax(x: jax.Array) -> jax.Array:
+    """Whole-tensor max-abs (fp32 scalar) — the calibration statistic."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 def pointwise_conv3d_int8(x: jax.Array, kernel: jax.Array) -> jax.Array:

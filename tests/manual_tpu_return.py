@@ -29,6 +29,7 @@ STEPS = [
     ("eval_fp32", [sys.executable, "bench.py"], 645.0),
     ("train", [sys.executable, "bench_train.py"], 90.0),
     ("eval_int8", [sys.executable, "bench.py", "128", "0", "int8"], None),
+    ("eval_int8_static", [sys.executable, "bench.py", "128", "0", "int8s"], None),
     ("eval_int8_embed", [sys.executable, "bench.py", "128", "0", "int8", "embed"], None),
     ("served", [sys.executable, "tests/manual_serve_bench.py",
                 "--batch", "128", "--requests", "512"], None),

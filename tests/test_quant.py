@@ -230,6 +230,64 @@ def test_quantized_caption_encoder_decodes():
     assert all(w in ("a", "b", "<unk>") for c in caps for w in c.split())
 
 
+def test_static_ops_match_dynamic_when_scale_is_true_max():
+    """With amax = the tensor's true per-batch max, the static op and the
+    dynamic op agree for a single-sample batch (same scale by definition)."""
+    from change3d_tpu.ops.quant import batch_amax, pointwise_conv3d_int8_static
+
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(1, 2, 4, 4, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16, 24).astype(np.float32))
+    got = pointwise_conv3d_int8_static(x, w, batch_amax(x))
+    ref = pointwise_conv3d_int8(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("packed", [(), (0,)], ids=["standard", "packed"])
+def test_calibrate_then_static_agrees_with_fp32(packed):
+    """calibrate -> static workflow: scales recorded by the fp32 calibration
+    pass make the static-int8 forward agree with fp32 like dynamic does;
+    Predictor refuses static without scales."""
+    from change3d_tpu.inference import Predictor, calibrate_quant_scales
+
+    base = dataclasses.replace(TINY_CFG, packed_eval_stages=packed)
+    static = dataclasses.replace(base, quantized_eval=True, quant_mode="static")
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=static)
+    rng = np.random.RandomState(11)
+    pre = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    post = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    plain = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=base)
+    variables = plain.init(jax.random.PRNGKey(0), pre, post)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    with pytest.raises(ValueError, match="calibrate_quant_scales"):
+        Predictor(model, variables, compute_dtype=jnp.float32)
+
+    scales = calibrate_quant_scales(model, variables, [(pre, post)])
+    flat = jax.tree.leaves(scales)
+    assert flat and all(np.asarray(v) > 0 for v in flat)
+
+    p_fp32 = _bcd_forward(base, variables, pre, post)
+    p_static = jax.nn.sigmoid(np.asarray(model.apply(
+        {**variables, "quant": scales}, pre, post, train=False
+    )["change"].astype(jnp.float32)))
+    assert np.abs(p_static - p_fp32).max() < 0.1
+    confident = np.abs(p_fp32 - 0.5) > 0.05
+    assert ((p_static > 0.5) == (p_fp32 > 0.5))[confident].mean() > 0.995
+
+    # Calibration itself must not perturb the fp32 math.
+    calib_cfg = dataclasses.replace(static, quant_mode="calibrate")
+    calib = Change3D(task=Task.BCD, num_classes=1, in_height=32, in_width=32,
+                     backbone_cfg=calib_cfg)
+    out, _ = calib.apply(variables, pre, post, train=False, mutable=["quant"])
+    np.testing.assert_array_equal(
+        jax.nn.sigmoid(np.asarray(out["change"].astype(jnp.float32))), p_fp32
+    )
+
+
 def test_quantized_ignored_at_train_time():
     """train=True must take the exact fp32 path even with quantized_eval on
     (training numerics are reference-pinned)."""
