@@ -298,8 +298,13 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--packed", action=argparse.BooleanOptionalAction, default=False)
     ev.add_argument("--fused", action="store_true")
     ev.add_argument("--quantized", action="store_true",
-                    help="dynamic int8 MXU convs (serving-grade approximate "
+                    help="int8 MXU convs (serving-grade approximate "
                     "numerics; see ops/quant.py)")
+    ev.add_argument("--quant_mode", default="dynamic", choices=["dynamic", "static"],
+                    help="int8 activation scales: on-the-fly per-sample, or "
+                    "calibrated on train-split batches then frozen")
+    ev.add_argument("--calib_batches", type=int, default=8,
+                    help="train batches used for static calibration")
     ev.add_argument("--json", action="store_true", help="emit scores as JSON")
     # CC-specific
     ev.add_argument("--word_map", default=None)
@@ -415,6 +420,8 @@ def run_eval(args) -> int:
             packed=args.packed,
             fused=args.fused,
             quantized=args.quantized,
+            quant_mode=args.quant_mode,
+            calib_batches=args.calib_batches,
         )
         scores = run_detection_eval(
             cfg, run_dir=args.checkpoint, split=args.split or "test",

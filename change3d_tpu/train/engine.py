@@ -47,10 +47,16 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Calibrated static-int8 activation scales ('quant' collection) — only
+    # populated for quant_mode='static' evaluation (ops/quant.py).
+    quant: Any = None
 
     @property
     def variables(self):
-        return {"params": self.params, "batch_stats": self.batch_stats}
+        v = {"params": self.params, "batch_stats": self.batch_stats}
+        if self.quant is not None:
+            v["quant"] = self.quant
+        return v
 
 
 def create_train_state(

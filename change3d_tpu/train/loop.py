@@ -86,6 +86,11 @@ class RunConfig:
     # Off by default: approximate numerics (decision-agreement tested); for
     # serving-throughput use via predict/eval/export and bench A/B.
     quantized: bool = False
+    # 'dynamic' (on-the-fly per-sample scales) or 'static' (scales calibrated
+    # on train-split batches then frozen — no hot-path reduction).
+    quant_mode: str = "dynamic"
+    # Train-split batches used to calibrate static scales.
+    calib_batches: int = 8
     # Write a jax.profiler trace of training steps 10-14 (first epoch) here
     # for XProf/TensorBoard kernel-level timing. None = off.
     profile_dir: Optional[str] = None
@@ -117,6 +122,7 @@ def build_model(cfg: RunConfig) -> Change3D:
             packed_train=cfg.packed,
             fused_inference=cfg.fused,
             quantized_eval=cfg.quantized,
+            quant_mode=cfg.quant_mode,
         )
     return Change3D(
         task=Task(cfg.task),
@@ -208,11 +214,30 @@ def run_detection_eval(
     else:
         variables, step = ckpt.restore_latest_variables()
         print(f"evaluating latest checkpoint (step {step})")
+    quant = None
+    if cfg.quantized and cfg.quant_mode == "static":
+        # Calibrate activation ranges on TRAIN-split batches (standard PTQ
+        # practice — never on the split being scored), then freeze.
+        from change3d_tpu.inference import calibrate_quant_scales
+
+        calib_data = _DATASETS[cfg.task](cfg.file_root, "train", eval_tf)
+        calib_loader = make_data_loader(
+            "threaded", calib_data, cfg.batch_size, shuffle=False,
+            num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
+        )
+        batches = []
+        for i, b in enumerate(calib_loader):
+            if i >= cfg.calib_batches:
+                break
+            batches.append((b["pre"], b["post"]))
+        quant = calibrate_quant_scales(model, variables, batches)
+        print(f"static int8: calibrated on {len(batches)} train batches")
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=None,
+        quant=quant,
     )
     state = jax.device_put(state, rsh)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
