@@ -191,8 +191,14 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--batch", type=int, default=None,
                      help="pin the batch dim (default: symbolic, any batch)")
     exp.add_argument("--quantized", action="store_true",
-                     help="bake dynamic int8 MXU convs into the artifact "
+                     help="bake int8 MXU convs into the artifact "
                      "(detection tasks)")
+    exp.add_argument("--quant_mode", default="dynamic", choices=["dynamic", "static"],
+                     help="static: calibrate activation scales on train-split "
+                     "batches (--file_root required) and bake them in — no "
+                     "runtime reductions in the served program")
+    exp.add_argument("--calib_batches", type=int, default=8)
+    exp.add_argument("--calib_batch_size", type=int, default=8)
     exp.add_argument("--platform", default=None, choices=["cpu"],
                      help="force the SESSION's JAX platform (export only "
                      "lowers, any platform can emit any --platforms targets; "
@@ -555,18 +561,53 @@ def run_export(args):
             args.out, beam_size=args.beam_size, platforms=platforms, batch=args.batch,
         )
     else:
-        from change3d_tpu.export import export_from_checkpoint
+        from change3d_tpu.export import export_from_checkpoint, export_model
         from change3d_tpu.train.loop import build_model, RunConfig
 
         cfg = RunConfig(
             task=args.model_task, num_classes=args.num_class,
             in_height=args.in_height, in_width=args.in_width,
-            quantized=args.quantized,
+            quantized=args.quantized, quant_mode=args.quant_mode,
         )
         model = build_model(cfg)
-        blob = export_from_checkpoint(
-            model, args.checkpoint, args.out, platforms=platforms, batch=args.batch,
-        )
+        if args.quantized and args.quant_mode == "static":
+            # Calibrate on train-split batches, bake the frozen scales into
+            # the artifact: the served program has no runtime reductions.
+            from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
+            from change3d_tpu.data.pipeline import make_data_loader, pair_collate
+            from change3d_tpu.data.transforms import make_transform_pipelines
+            from change3d_tpu.inference import (
+                calibrate_quant_scales,
+                restore_best_variables,
+            )
+
+            if not args.file_root:
+                raise SystemExit("static export needs --file_root for calibration")
+            _, eval_tf = make_transform_pipelines(
+                args.model_task, args.in_width, args.in_height
+            )
+            ds_cls = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}
+            calib_data = ds_cls[args.model_task](args.file_root, "train", eval_tf)
+            loader = make_data_loader(
+                "threaded", calib_data, args.calib_batch_size, shuffle=False,
+                num_workers=2, collate=pair_collate, drop_last=True,
+            )
+            batches = []
+            for i, b in enumerate(loader):
+                if i >= args.calib_batches:
+                    break
+                batches.append((b["pre"], b["post"]))
+            variables = restore_best_variables(model, args.checkpoint)
+            scales = calibrate_quant_scales(model, variables, batches)
+            print(f"static int8: calibrated on {len(batches)} train batches")
+            blob = export_model(
+                model, {**variables, "quant": scales}, args.out,
+                platforms=platforms, batch=args.batch,
+            )
+        else:
+            blob = export_from_checkpoint(
+                model, args.checkpoint, args.out, platforms=platforms, batch=args.batch,
+            )
     print(f"exported {len(blob)} bytes to {args.out}")
 
 
