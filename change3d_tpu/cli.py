@@ -864,11 +864,17 @@ def main(argv=None):
         return run_verify_checkpoint(args)
 
 
+def entrypoint() -> int:
+    """Console-script entry (pyproject [project.scripts] `change3d`).
+
+    Train subcommands return result dicts (ignored); verify-checkpoint
+    returns an int status that must become the process exit code so
+    `verify-checkpoint --trace ... && deploy` style gates actually gate."""
+    r = main()
+    return r if isinstance(r, int) else 0
+
+
 if __name__ == "__main__":
     import sys as _sys
 
-    # Train subcommands return result dicts (ignored); verify-checkpoint
-    # returns an int status that must become the process exit code so
-    # `verify-checkpoint --trace ... && deploy` style gates actually gate.
-    _r = main()
-    _sys.exit(_r if isinstance(_r, int) else 0)
+    _sys.exit(entrypoint())
