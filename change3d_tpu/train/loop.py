@@ -221,9 +221,11 @@ def run_detection_eval(
         from change3d_tpu.inference import calibrate_quant_scales
 
         calib_data = _DATASETS[cfg.task](cfg.file_root, "train", eval_tf)
+        # Calibration applies unsharded (single device), so a ragged final
+        # batch is fine — don't let device-rounded batch sizes starve it.
         calib_loader = make_data_loader(
             "threaded", calib_data, cfg.batch_size, shuffle=False,
-            num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
+            num_workers=cfg.num_workers, collate=pair_collate, drop_last=False,
         )
         batches = []
         for i, b in enumerate(calib_loader):

@@ -46,6 +46,35 @@ def test_detection_standalone_eval_matches_training_report(bcd_root, tmp_path): 
         run_detection_eval(cfg, run_dir=str(tmp_path / "nope"), which="latest")
 
 
+def test_standalone_eval_quantized_modes(bcd_root, tmp_path):  # noqa: F811
+    """--quantized eval in both scale regimes: dynamic needs nothing extra;
+    static auto-calibrates on train-split batches and scores comparably."""
+    import dataclasses
+
+    cfg = RunConfig(
+        task="bcd", dataset="tiny", file_root=bcd_root, save_dir=str(tmp_path),
+        in_height=16, in_width=16, batch_size=4, max_epochs=2, num_workers=1,
+        remat=False,
+    )
+    run_detection_training(cfg)
+    run_dir = os.path.join(str(tmp_path), "tiny_iter_80000_lr_0.0002")
+
+    fp32 = run_detection_eval(cfg, run_dir=run_dir, which="best")
+    dyn = run_detection_eval(
+        dataclasses.replace(cfg, quantized=True), run_dir=run_dir, which="best"
+    )
+    static = run_detection_eval(
+        dataclasses.replace(cfg, quantized=True, quant_mode="static",
+                            calib_batches=2),
+        run_dir=run_dir, which="best",
+    )
+    for scores in (dyn, static):
+        assert np.isfinite(scores["F1"]) and np.isfinite(scores["loss"])
+        # int8 is approximate; on a tiny barely-trained model the agreement
+        # bound is loose, but the scores must stay in the fp32 ballpark.
+        assert abs(scores["OA"] - fp32["OA"]) < 0.2
+
+
 def test_eval_cli_bcd(bcd_root, tmp_path, capsys):  # noqa: F811
     """CLI surface over an existing run dir (reuses the run from a fresh
     2-epoch training to keep compile shapes identical)."""
