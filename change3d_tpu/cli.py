@@ -167,8 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--tile_overlap", type=int, default=32,
                       help="overlap in px between adjacent tiles (--tiled)")
     pred.add_argument("--quantized", action="store_true",
-                      help="dynamic int8 MXU convs (serving-grade "
-                      "approximate numerics; detection tasks)")
+                      help="int8 MXU convs (serving-grade approximate "
+                      "numerics; detection tasks)")
+    pred.add_argument("--quant_mode", default="dynamic", choices=["dynamic", "static"])
+    pred.add_argument("--calib_batches", type=int, default=8)
     pred.add_argument("--shard", action="store_true",
                       help="spread each batch over all local devices "
                       "(detection tasks; batch_size must be a multiple of "
@@ -732,16 +734,28 @@ def run_predict(args):
     from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
     from change3d_tpu.data.pipeline import DataLoader, pair_collate
     from change3d_tpu.data.transforms import make_transform_pipelines
-    from change3d_tpu.inference import Predictor, TiledPredictor
-    from change3d_tpu.train.loop import build_model, RunConfig
+    from change3d_tpu.inference import (
+        Predictor,
+        TiledPredictor,
+        restore_best_variables,
+    )
+    from change3d_tpu.train.loop import build_model, calibrate_from_train_split, RunConfig
 
     cfg = RunConfig(
         task=args.model_task, num_classes=args.num_class,
         in_height=args.in_height, in_width=args.in_width,
-        quantized=args.quantized,
+        quantized=args.quantized, quant_mode=args.quant_mode,
+        calib_batches=args.calib_batches, file_root=args.file_root,
+        batch_size=args.batch_size,
     )
     model = build_model(cfg)
-    predictor = Predictor.from_checkpoint(model, args.checkpoint, shard=args.shard)
+    variables = restore_best_variables(model, args.checkpoint)
+    if args.quantized and args.quant_mode == "static":
+        variables = {
+            **variables,
+            "quant": calibrate_from_train_split(cfg, model, variables),
+        }
+    predictor = Predictor(model, variables, shard=args.shard)
     ds_cls = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}[args.model_task]
     os.makedirs(args.out, exist_ok=True)
 

@@ -174,6 +174,30 @@ def _evaluate_split(cfg: RunConfig, eval_step, state, loader, bsh) -> Dict[str, 
     return scores
 
 
+def calibrate_from_train_split(cfg: RunConfig, model, variables) -> dict:
+    """Static-int8 activation calibration on TRAIN-split batches (standard
+    PTQ practice — never the split being scored). Returns the 'quant'
+    variable collection. Calibration applies unsharded (single device), so
+    ragged final batches are fine — device-rounded batch sizes must not
+    starve it on small splits."""
+    from change3d_tpu.inference import calibrate_quant_scales
+
+    _, eval_tf = make_transform_pipelines(cfg.task, cfg.in_width, cfg.in_height)
+    calib_data = _DATASETS[cfg.task](cfg.file_root, "train", eval_tf)
+    calib_loader = make_data_loader(
+        "threaded", calib_data, cfg.batch_size, shuffle=False,
+        num_workers=cfg.num_workers, collate=pair_collate, drop_last=False,
+    )
+    batches = []
+    for i, b in enumerate(calib_loader):
+        if i >= cfg.calib_batches:
+            break
+        batches.append((b["pre"], b["post"]))
+    quant = calibrate_quant_scales(model, variables, batches)
+    print(f"static int8: calibrated on {len(batches)} train batches")
+    return quant
+
+
 def run_detection_eval(
     cfg: RunConfig,
     run_dir: Optional[str] = None,
@@ -216,24 +240,7 @@ def run_detection_eval(
         print(f"evaluating latest checkpoint (step {step})")
     quant = None
     if cfg.quantized and cfg.quant_mode == "static":
-        # Calibrate activation ranges on TRAIN-split batches (standard PTQ
-        # practice — never on the split being scored), then freeze.
-        from change3d_tpu.inference import calibrate_quant_scales
-
-        calib_data = _DATASETS[cfg.task](cfg.file_root, "train", eval_tf)
-        # Calibration applies unsharded (single device), so a ragged final
-        # batch is fine — don't let device-rounded batch sizes starve it.
-        calib_loader = make_data_loader(
-            "threaded", calib_data, cfg.batch_size, shuffle=False,
-            num_workers=cfg.num_workers, collate=pair_collate, drop_last=False,
-        )
-        batches = []
-        for i, b in enumerate(calib_loader):
-            if i >= cfg.calib_batches:
-                break
-            batches.append((b["pre"], b["post"]))
-        quant = calibrate_quant_scales(model, variables, batches)
-        print(f"static int8: calibrated on {len(batches)} train batches")
+        quant = calibrate_from_train_split(cfg, model, variables)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
