@@ -80,6 +80,35 @@ def test_sharded_predictor_matches_single_device():
     )
 
 
+def test_sharded_quantized_predictor_matches():
+    """shard x int8: per-sample dynamic scales are batch-shard-local by
+    construction, so sharded quantized inference equals single-device."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from change3d_tpu.models.x3d import X3DConfig
+
+    quant_cfg = dataclasses.replace(
+        X3DConfig(stem_dim_out=8, stage_dims=(8, 16, 24, 32),
+                  stage_inner_dims=(18, 36, 54, 72), stage_depths=(1, 1, 2, 1),
+                  head_dim_out=64, num_classes=10),
+        quantized_eval=True,
+    )
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=quant_cfg)
+    variables = _init(model)
+    rng = np.random.RandomState(3)
+    a = rng.randn(8, H, W, 3).astype(np.float32)
+    b = rng.randn(8, H, W, 3).astype(np.float32)
+    base = Predictor(model, variables, compute_dtype=jnp.float32)
+    sharded = Predictor(model, variables, compute_dtype=jnp.float32, shard=True)
+    np.testing.assert_allclose(
+        sharded.predict_probs(a, b)["change"],
+        base.predict_probs(a, b)["change"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_scd_bda_predictors():
     rng = np.random.RandomState(0)
     a = rng.randn(2, H, W, 3).astype(np.float32)
