@@ -406,9 +406,26 @@ def run_eval(args) -> int:
         )
         if args.dataset:
             cfg = dataclasses.replace(cfg, dataset=args.dataset)
+        backbone = None
+        if args.packed or args.fused or args.quantized:
+            import dataclasses as _dc
+
+            from change3d_tpu.models.x3d import x3d_l_config
+
+            if args.quantized and args.quant_mode == "static":
+                raise SystemExit(
+                    "cc eval supports dynamic int8 only (static calibration "
+                    "is wired for the detection tasks)"
+                )
+            backbone = _dc.replace(
+                x3d_l_config(),
+                packed_eval_stages=(0,) if args.packed else (),
+                fused_inference=args.fused,
+                quantized_eval=args.quantized,
+            )
         scores = run_caption_eval(
             cfg, run_dir=args.checkpoint, split=args.split, which=args.which,
-            save_json=args.save_json,
+            save_json=args.save_json, backbone_cfg=backbone,
         )
     else:
         from change3d_tpu.train.loop import run_detection_eval

@@ -303,6 +303,7 @@ def run_caption_eval(
     split: Optional[str] = None,
     which: str = "best",
     save_json: bool = False,
+    backbone_cfg=None,
 ) -> Dict[str, float]:
     """Standalone caption evaluation of a finished run (beam decode + the
     full metric suite). The reference only scores inside training
@@ -317,7 +318,9 @@ def run_caption_eval(
         num_workers=cfg.num_workers, collate=caption_collate, pad_final=True,
     )
     probe = data.__getitem__(0)
-    model = build_caption_model(cfg, len(word_map), in_size=probe["pre"].shape[0])
+    model = build_caption_model(
+        cfg, len(word_map), in_size=probe["pre"].shape[0], backbone_cfg=backbone_cfg
+    )
     ckpt = CheckpointManager(run_dir)
     if which == "best":
         sample = jnp.zeros((1, model.in_height, model.in_width, 3), jnp.float32)

@@ -117,7 +117,8 @@ def test_caption_standalone_eval(caption_root, tmp_path, monkeypatch):  # noqa: 
         num_layers=2, backbone_cfg=TINY_CFG, in_height=32, in_width=32,
     )
     monkeypatch.setattr(
-        caption_loop, "build_caption_model", lambda cfg, vocab, in_size=256: model
+        caption_loop, "build_caption_model",
+        lambda cfg, vocab, in_size=256, backbone_cfg=None: model
     )
 
     run_dir = str(tmp_path / "run")
