@@ -719,7 +719,18 @@ def run_predict_captions(args):
     word_map = load_word_map(cfg)
     ds = _EveryFifth(CaptionDataset(args.file_root, args.dataset, args.split.upper()))
     sample = ds.__getitem__(0)
-    model = build_caption_model(cfg, len(word_map), in_size=sample["pre"].shape[0])
+    backbone = None
+    if args.quantized:
+        import dataclasses as _dc
+
+        from change3d_tpu.models.x3d import x3d_l_config
+
+        if args.quant_mode == "static":
+            raise SystemExit("cc predict supports dynamic int8 only")
+        backbone = _dc.replace(x3d_l_config(), quantized_eval=True)
+    model = build_caption_model(
+        cfg, len(word_map), in_size=sample["pre"].shape[0], backbone_cfg=backbone
+    )
     predictor = CaptionPredictor.from_checkpoint(
         model, args.checkpoint, word_map=word_map, beam_size=args.beam_size
     )
