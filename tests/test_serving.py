@@ -236,6 +236,16 @@ def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     svc.close()
 
 
+def test_cli_serve_rejects_shard_with_artifact():
+    from change3d_tpu.cli import build_parser, run_serve
+
+    args = build_parser().parse_args([
+        "serve", "--model_task", "bcd", "--artifact", "m.hlo", "--shard",
+    ])
+    with pytest.raises(SystemExit, match="shard"):
+        run_serve(args)
+
+
 def test_stats_percentiles_nearest_rank():
     from change3d_tpu.serving import _Stats
 
