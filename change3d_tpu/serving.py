@@ -35,6 +35,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+# Largest accepted request body (two base64 PNGs; 256 MB covers ~90 MP
+# scenes with headroom). Module-level so deployments can raise it.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 class _Stats:
     """Lock-guarded serving counters + a latency ring buffer (seconds)."""
@@ -354,6 +358,12 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
             ok = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._reply(413, {"error": (
+                        f"body {length} bytes exceeds the {MAX_BODY_BYTES} "
+                        "limit (tile large scenes client-side, or raise "
+                        "serving.MAX_BODY_BYTES)")})
+                    return
                 body = json.loads(self.rfile.read(length))
                 payload = service.handle(body)
                 ok = True

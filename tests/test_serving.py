@@ -236,6 +236,21 @@ def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     svc.close()
 
 
+def test_oversized_body_rejected(bcd_predictor, monkeypatch):
+    import change3d_tpu.serving as serving_mod
+
+    monkeypatch.setattr(serving_mod, "MAX_BODY_BYTES", 1024)
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=1)
+    httpd, url = _start(service)
+    try:
+        img = _png64(np.random.RandomState(7).randint(0, 255, (HW, HW, 3), np.uint8))
+        code, body = _post(url, {"pre": img, "post": img})
+        assert code == 413 and "limit" in body["error"]
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_cli_serve_rejects_shard_with_artifact():
     from change3d_tpu.cli import build_parser, run_serve
 
