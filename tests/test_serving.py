@@ -404,6 +404,38 @@ def test_http_caption_serving():
         PredictService("cc", predictor, tiled=True)
 
 
+def test_predict_client_caption_passthrough():
+    """PredictClient returns cc captions as plain strings (no PNG decode)."""
+    from change3d_tpu.client import PredictClient
+    from change3d_tpu.inference import CaptionPredictor
+
+    from _tiny_cc import TINY_KW, VOCAB
+
+    model = Change3D(
+        task=Task.CC, vocab_size=len(VOCAB), embed_dim=32, num_heads=4,
+        num_layers=1, backbone_cfg=X3DConfig(**TINY_KW), in_height=HW, in_width=HW,
+    )
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, x, captions=jnp.zeros((1, 4), jnp.int32)
+    )
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    predictor = CaptionPredictor(
+        model, variables, VOCAB, beam_size=1, compute_dtype=jnp.float32
+    )
+    service = PredictService("cc", predictor, batch_size=2, max_delay_ms=1)
+    httpd, url = _start(service)
+    try:
+        client = PredictClient(url)
+        img = np.random.RandomState(8).randint(0, 255, (HW, HW, 3), np.uint8)
+        out = client.predict(img, img)
+        assert isinstance(out["caption"], str)
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_scd_payload_fields(bcd_predictor):
     """masks_to_payload field sets per task (scd via a real scd model)."""
     model = Change3D(task=Task.SCD, num_classes=6, in_height=HW, in_width=HW,
