@@ -97,6 +97,37 @@ def test_export_caption_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(t3), np.asarray(lt3))
 
 
+def test_artifact_predictor_matches_live(tmp_path):
+    """ArtifactPredictor (the serving wrapper): geometry read from the
+    artifact's avals, predictions equal the live Predictor; pinned-batch
+    artifacts expose fixed_batch."""
+    from change3d_tpu.inference import ArtifactPredictor, Predictor
+    from change3d_tpu.models.trainer import Task
+
+    model = Change3D(task=Task.BCD, num_classes=1, in_height=16, in_width=16,
+                     backbone_cfg=TINY)
+    rs = np.random.RandomState(1)
+    pre = rs.randn(2, 16, 16, 3).astype(np.float32)
+    post = rs.randn(2, 16, 16, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pre), jnp.asarray(post))
+
+    path = str(tmp_path / "bcd.stablehlo")
+    export_model(model, variables, path, compute_dtype=jnp.float32, platforms=("cpu",))
+    ap = ArtifactPredictor(path)
+    assert (ap.model.in_height, ap.model.in_width) == (16, 16)
+    assert ap.fixed_batch is None  # symbolic batch
+
+    live = Predictor(model, variables, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        ap.predict(pre, post)["change"], live.predict(pre, post)["change"]
+    )
+
+    pinned = str(tmp_path / "bcd4.stablehlo")
+    export_model(model, variables, pinned, compute_dtype=jnp.float32,
+                 platforms=("cpu",), batch=4)
+    assert ArtifactPredictor(pinned).fixed_batch == 4
+
+
 def test_export_packed_backbone(tmp_path):
     # The production eval config (packed stage 1) must export identically.
     cfg = dataclasses.replace(TINY, packed_eval_stages=(0,))
