@@ -88,16 +88,22 @@ def main():
             return new_state, ()
 
         final, _ = jax.lax.scan(body, state, None, length=n)
-        return final.step
+        # The fetched value MUST depend on the full update chain: fetching
+        # final.step alone (a counter that depends only on n) lets XLA
+        # dead-code-eliminate every gradient/optimizer op — observed as a
+        # fantasy 13,608 samples/s (1.18 ms/step) on 2026-08-18. Summing a
+        # param leaf forces the whole serial chain to execute.
+        leaf = jax.tree_util.tree_leaves(final.params)[0]
+        return final.step + jnp.sum(leaf.astype(jnp.float32))
 
     run = jax.jit(chained, static_argnums=3)
-    assert int(run(state, batch_data, key, 2)) == 2  # compile (short chain)
-    int(run(state, batch_data, key, STEPS))  # second warmup at full length
+    float(run(state, batch_data, key, 2))  # compile (short chain)
+    float(run(state, batch_data, key, STEPS))  # second warmup at full length
     # Best of 3 timed windows; each window is one dispatch + one fetch.
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        int(run(state, batch_data, key, STEPS))
+        float(run(state, batch_data, key, STEPS))
         dt = min(dt, (time.perf_counter() - t0) / STEPS)
 
     print(
