@@ -102,8 +102,10 @@ def fold_bn_into_conv(kernel: jax.Array, scale, bias, mean, var, eps: float = 1e
     """Fold eval-mode BN into the preceding conv's kernel (+ produce a bias).
 
     kernel layout (..spatial.., in, out): the BN channel axis is the kernel's
-    last axis. Returns (folded_kernel, folded_bias). Used by the inference
-    engine so eval graphs contain only convs and activations.
+    last axis. Returns (folded_kernel, folded_bias). Available for offline
+    weight transforms; the live eval path does NOT need it — with weights
+    closed over at jit time (``--embed``) XLA constant-folds the BN
+    scale/shift into the conv epilogue, measured at parity (ARCHITECTURE.md).
     """
     a = (scale * jax.lax.rsqrt(var + eps)).astype(kernel.dtype)
     b = (bias - mean * scale * jax.lax.rsqrt(var + eps)).astype(kernel.dtype)
