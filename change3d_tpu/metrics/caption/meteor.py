@@ -23,8 +23,11 @@ paraphrase stages sit behind optional table paths — ``synonym_table=`` /
 .gz, lines ``a ||| b`` or the jar's ``prob ||| a ||| b``) — because the
 jar's own data files (WordNet export, paraphrase-en.gz) are missing blobs
 in the reference repo; supply them and the scorer consumes them directly.
-Paraphrases match unmatched multi-word spans greedily, longest-span-first;
-synonyms match 1-1 words. Remaining divergence: the function-word list is a
+Alignment resolution (round 4) is the jar's beam search over
+non-conflicting match subsets — maximize covered words, then minimize
+chunks, then minimize summed |hyp_start - ref_start|, beam width 40 — not
+a greedy first-match sweep, so repeated-token segments chunk the way
+Meteor 1.5 chunks them. Remaining divergence: the function-word list is a
 built-in common-English list rather than the jar's corpus-frequency list.
 
 IMPORTANT comparability note: the reference's caption eval feeds *stringified
@@ -34,10 +37,9 @@ token ids* to every scorer, METEOR included (ref:
 stages and the function-word distinction are no-ops for the jar exactly as
 they are here, so for the production protocol the scores are comparable to
 the reference's published numbers; the word-level stages above matter only
-when scoring real text. One residual divergence applies even to the digit
-protocol: alignment here is greedy first-match per stage, while the jar
-searches for the max-match/min-chunk alignment — on segments with repeated
-tokens the fragmentation penalty can differ slightly.
+when scoring real text. Repeated-token segments — which the id protocol
+does contain — resolve through the same max-coverage/min-chunk search the
+jar uses (see ``_resolve_alignment``), so the fragmentation penalty matches.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ _LIB_TRIED = False
 # Must match meteor_abi_version() in native/meteor.cpp. Bumped whenever
 # scoring semantics change so a stale prebuilt .so (loadable when make is
 # unavailable) can never silently diverge from the Python fallback.
-_NATIVE_ABI_VERSION = 2
+_NATIVE_ABI_VERSION = 3
 
 
 def _load_native():
@@ -170,16 +172,14 @@ def load_paraphrase_table(path: str):
     return table
 
 
-def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tuple[float, ...]:
-    """Greedy stage-wise alignment. Returns (wm_h, wm_r, wlen_h, wlen_r,
-    matches, chunks) sufficient statistics.
+BEAM_WIDTH = 40  # the jar's alignment-resolution beam size
 
-    Stages: exact (w=1.0), Porter-stem (w=0.6), optional synonym word
-    matching at w=0.8 (``syn_table``), then — when a paraphrase ``table``
-    is given — greedy longest-span-first phrase matching at w=0.6 over
-    still-unmatched words. ``matches`` is the Meteor average
-    (m_hyp + m_ref)/2 (a float once phrase matches of unequal span length
-    exist; integral and identical to the old count without them)."""
+
+def _collect_candidates(hyp: List[str], ref: List[str], table, syn_table):
+    """All candidate matches (hi, hl, ri, rl, stage, weight) across the four
+    Meteor 1.5 stages. Each span pair appears once, attributed to its
+    earliest matching stage (exact 1.0, stem 0.6, synonym 0.8, paraphrase
+    0.6), the way the jar's matchers skip already-matched pairs."""
     try:
         from nltk.stem.porter import PorterStemmer  # pragma: no cover
 
@@ -187,74 +187,105 @@ def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tup
     except Exception:
         stem = _simple_stem
     nh, nr = len(hyp), len(ref)
-    h2r = [-1] * nh
-    stage_w = [0.0] * nh
-    used = [False] * nr
-
-    for stage, w in ((lambda x: x, 1.0), (stem, W_STEM)):
-        hk = [stage(x) for x in hyp]
-        rk = [stage(x) for x in ref]
+    hs = [stem(x) for x in hyp]
+    rs = [stem(x) for x in ref]
+    cands = []
+    word_pairs = set()
+    for j in range(nr):
         for i in range(nh):
-            if h2r[i] >= 0:
+            if hyp[i] == ref[j]:
+                cands.append((i, 1, j, 1, 0, 1.0))
+            elif hs[i] == rs[j]:
+                cands.append((i, 1, j, 1, 1, W_STEM))
+            elif syn_table and ref[j] in syn_table.get(hyp[i], ()):
+                cands.append((i, 1, j, 1, 2, W_SYNONYM))
+            else:
                 continue
-            for j in range(nr):
-                if not used[j] and hk[i] == rk[j]:
-                    h2r[i] = j
-                    stage_w[i] = w
-                    used[j] = True
-                    break
-
-    if syn_table:
-        # Synonym stage (w=0.8): 1-1 word matches through the synonym table.
-        for i in range(nh):
-            if h2r[i] >= 0:
-                continue
-            cands = syn_table.get(hyp[i])
-            if not cands:
-                continue
-            for j in range(nr):
-                if not used[j] and ref[j] in cands:
-                    h2r[i] = j
-                    stage_w[i] = W_SYNONYM
-                    used[j] = True
-                    break
-
-    # Match records (hyp_start, hyp_len, ref_start, ref_len, weight); word
-    # stage matches are 1-1 records.
-    records = [(i, 1, h2r[i], 1, stage_w[i]) for i in range(nh) if h2r[i] >= 0]
-
+            word_pairs.add((i, j))
     if table:
-        h_used = [h2r[i] >= 0 for i in range(nh)]
-        i = 0
-        while i < nh:
-            matched_len = 0
-            for lh in range(min(MAX_PHRASE_LEN, nh - i), 0, -1):
-                if any(h_used[i : i + lh]):
-                    continue
+        seen = set()
+        for i in range(nh):
+            for lh in range(1, min(MAX_PHRASE_LEN, nh - i) + 1):
                 targets = table.get(" ".join(hyp[i : i + lh]))
                 if not targets:
                     continue
-                hit = None
                 for tgt in targets:
                     tw = tgt.split()
                     lr = len(tw)
+                    if lr == 0 or lr > nr:
+                        continue
                     for j in range(nr - lr + 1):
-                        if ref[j : j + lr] == tw and not any(used[j : j + lr]):
-                            hit = (j, lr)
-                            break
-                    if hit:
-                        break
-                if hit:
-                    j, lr = hit
-                    for k in range(i, i + lh):
-                        h_used[k] = True
-                    for k in range(j, j + lr):
-                        used[k] = True
-                    records.append((i, lh, j, lr, W_PARAPHRASE))
-                    matched_len = lh
-                    break
-            i += matched_len or 1
+                        if ref[j : j + lr] != tw:
+                            continue
+                        if lh == 1 and lr == 1 and (i, j) in word_pairs:
+                            continue
+                        if (i, lh, j, lr) in seen:
+                            continue
+                        seen.add((i, lh, j, lr))
+                        cands.append((i, lh, j, lr, 3, W_PARAPHRASE))
+    return cands
 
+
+def _resolve_alignment(nh: int, nr: int, cands) -> list:
+    """Meteor 1.5 alignment resolution: beam search over ref positions —
+    each partial alignment either leaves the ref word unmatched or takes a
+    candidate starting there whose spans are free — keeping the BEAM_WIDTH
+    best partials under the lexicographic objective (max covered words, min
+    chunks, min summed |hyp_start - ref_start|). Returns the chosen
+    candidate records. A greedy first-match sweep can mis-chunk segments
+    with repeated tokens; this search finds the jar's alignment."""
+    by_ref = [[] for _ in range(nr)]
+    for ci, c in enumerate(cands):
+        by_ref[c[2]].append(ci)
+
+    # Partial: (covered, chunks, dist, h_used bitmask, prev_hend, prev_rend,
+    #           next_free_ref, chosen tuple)
+    beam = [(0, 0, 0, 0, -1, -1, 0, ())]
+    for j in range(nr):
+        if not by_ref[j]:
+            continue  # skip-only position: beam unchanged
+        nxt = list(beam)  # every partial may leave ref j unmatched
+        for covered, chunks, dist, h_used, ph, pr, free, chosen in beam:
+            if free > j:
+                continue  # ref j consumed by a phrase match
+            for ci in by_ref[j]:
+                hi, hl, ri, rl, _stage, _w = cands[ci]
+                if ri + rl > nr:
+                    continue
+                hmask = ((1 << hl) - 1) << hi
+                if h_used & hmask:
+                    continue
+                nxt.append((
+                    covered + hl + rl,
+                    chunks + (0 if (hi == ph and ri == pr) else 1),
+                    dist + abs(hi - ri),
+                    h_used | hmask,
+                    hi + hl,
+                    ri + rl,
+                    ri + rl,
+                    chosen + (ci,),
+                ))
+        if len(nxt) > BEAM_WIDTH:
+            nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
+            del nxt[BEAM_WIDTH:]
+        beam = nxt
+    best = min(beam, key=lambda s: (-s[0], s[1], s[2]))
+    return [cands[ci] for ci in best[7]]
+
+
+def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tuple[float, ...]:
+    """Meteor 1.5 alignment. Returns (wm_h, wm_r, wlen_h, wlen_r, matches,
+    chunks) sufficient statistics.
+
+    Candidates come from all four stages — exact (w=1.0), Porter-stem
+    (w=0.6), synonym words at w=0.8 (``syn_table``), paraphrase spans at
+    w=0.6 (``table``) — and are resolved one-to-one by the beam search in
+    ``_resolve_alignment``. ``matches`` is the Meteor average
+    (m_hyp + m_ref)/2 (a float once phrase matches of unequal span length
+    exist; integral and identical to a plain count without them)."""
+    nh, nr = len(hyp), len(ref)
+    cands = _collect_candidates(hyp, ref, table, syn_table)
+    records = [(hi, hl, ri, rl, w) for hi, hl, ri, rl, _s, w in _resolve_alignment(nh, nr, cands)]
     records.sort()
     wm_h = wm_r = 0.0
     matches = 0.0

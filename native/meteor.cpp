@@ -20,14 +20,22 @@
 // Default parameters are the Meteor 1.5 English set: alpha=0.85, beta=0.2,
 // gamma=0.6, delta=0.75.
 //
-// Documented divergences from meteor-1.5.jar: the jar's synonym (WordNet) and
-// paraphrase (paraphrase-en.gz) stages are absent — those tables are missing
-// blobs in the reference repo itself — and the function-word list is a
-// built-in common-English list rather than the jar's corpus-frequency list.
+// All four Meteor 1.5 matcher stages are implemented: exact (1.0),
+// Porter-stem (0.6), synonym (0.8, via meteor_set_synonym_table) and
+// paraphrase (0.6, via meteor_set_paraphrase_table) — the synonym/paraphrase
+// data files are missing blobs in the reference repo, so those stages sit
+// behind optional table loads. Alignment resolution is the jar's beam search
+// over non-conflicting match subsets (maximize covered words, then minimize
+// chunks, then minimize total |hyp_start - ref_start|; beam width 40), not a
+// greedy first-match sweep. Remaining documented divergence from
+// meteor-1.5.jar: the function-word list is a built-in common-English list
+// rather than the jar's corpus-frequency list.
 
 #include <algorithm>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
+#include <tuple>
 #include <fstream>
 #include <map>
 #include <set>
@@ -272,78 +280,101 @@ double score_from(const Stats& s, double alpha, double beta, double gamma) {
   return (1.0 - penalty) * fmean;
 }
 
-// Stage-wise greedy alignment: for each stage, match each unmatched hyp token
-// to the first unmatched ref token with the same key. Stage weights: exact
-// 1.0, Porter-stem 0.6 (Meteor 1.5 English module weights).
-Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>& ref,
-            double alpha, double beta, double gamma, double delta, double w_stem) {
+// One candidate match: hyp span [hi, hi+hl) vs ref span [ri, ri+rl), from
+// matcher stage `stage` (0 exact, 1 stem, 2 synonym, 3 paraphrase) with the
+// stage's module weight `w`. Unlike the final MatchRec set, candidates may
+// conflict; the beam search below resolves them one-to-one.
+struct Cand {
+  int hi, hl, ri, rl, stage;
+  double w;
+};
+
+// Dynamic bitset over hypothesis word indices (captions are ≤52 tokens, but
+// real text has no bound, so no fixed width).
+struct HypMask {
+  std::vector<uint64_t> w;
+  explicit HypMask(size_t n) : w((n + 63) / 64, 0) {}
+  bool any(int start, int len) const {
+    for (int k = start; k < start + len; k++)
+      if (w[k >> 6] & (1ull << (k & 63))) return true;
+    return false;
+  }
+  void set(int start, int len) {
+    for (int k = start; k < start + len; k++) w[k >> 6] |= 1ull << (k & 63);
+  }
+};
+
+// A partial alignment in the beam search: matches chosen so far (indices
+// into the candidate list, in ref order), hypothesis coverage, and the
+// running objective (covered words, chunks, total start distance).
+struct Partial {
+  HypMask h_used;
+  int covered = 0, chunks = 0, dist = 0;
+  int prev_hend = -1, prev_rend = -1;
+  int next_free_ref = 0;  // first ref index not consumed by a chosen match
+  std::vector<int> chosen;
+  explicit Partial(size_t nh) : h_used(nh) {}
+};
+
+// Lexicographic objective of Meteor 1.5's alignment resolution: maximize
+// covered words, then minimize chunks, then minimize the summed distance
+// between matched start positions.
+inline bool partial_better(const Partial& a, const Partial& b) {
+  if (a.covered != b.covered) return a.covered > b.covered;
+  if (a.chunks != b.chunks) return a.chunks < b.chunks;
+  return a.dist < b.dist;
+}
+
+constexpr int kBeamWidth = 40;  // the jar's beam size
+
+// Collect all candidate matches across the four stages. Each (hyp, ref) span
+// pair appears at most once, attributed to its earliest matching stage (the
+// jar's matchers skip pairs already matched by a prior stage).
+std::vector<Cand> collect_candidates(const std::vector<std::string>& hyp,
+                                     const std::vector<std::string>& ref,
+                                     double w_stem) {
   PorterStemmer stemmer;
   size_t nh = hyp.size(), nr = ref.size();
-  std::vector<int> hyp_to_ref(nh, -1);
-  std::vector<double> stage_w(nh, 0.0);
-  std::vector<bool> ref_used(nr, false);
+  std::vector<Cand> cands;
 
-  auto run_stage = [&](bool stemmed, double w) {
-    std::vector<std::string> hk(nh), rk(nr);
-    for (size_t i = 0; i < nh; i++) hk[i] = stemmed ? stemmer.stem(hyp[i]) : hyp[i];
-    for (size_t i = 0; i < nr; i++) rk[i] = stemmed ? stemmer.stem(ref[i]) : ref[i];
+  std::vector<std::string> hs(nh), rs(nr);
+  for (size_t i = 0; i < nh; i++) hs[i] = stemmer.stem(hyp[i]);
+  for (size_t j = 0; j < nr; j++) rs[j] = stemmer.stem(ref[j]);
+  const auto& syn = synonym_table();
+
+  // Word stages (1-1): earliest stage wins per pair. Generated ref-major so
+  // the per-ref candidate lists the search consumes are naturally grouped.
+  std::set<std::pair<int, int>> word_pairs;
+  for (size_t j = 0; j < nr; j++)
     for (size_t i = 0; i < nh; i++) {
-      if (hyp_to_ref[i] >= 0) continue;
-      for (size_t jj = 0; jj < nr; jj++) {
-        if (ref_used[jj]) continue;
-        if (hk[i] == rk[jj]) {
-          hyp_to_ref[i] = static_cast<int>(jj);
-          stage_w[i] = w;
-          ref_used[jj] = true;
-          break;
-        }
+      if (hyp[i] == ref[j])
+        cands.push_back({(int)i, 1, (int)j, 1, 0, 1.0});
+      else if (hs[i] == rs[j])
+        cands.push_back({(int)i, 1, (int)j, 1, 1, w_stem});
+      else if (g_has_synonyms) {
+        auto it = syn.find(hyp[i]);
+        if (it != syn.end() && it->second.count(ref[j]))
+          cands.push_back({(int)i, 1, (int)j, 1, 2, kWSynonym});
+        else
+          continue;
+      } else {
+        continue;
       }
+      word_pairs.insert({(int)i, (int)j});
     }
-  };
-  run_stage(false, 1.0);
-  run_stage(true, w_stem);
 
-  // Synonym stage (w=0.8): 1-1 word matches through the synonym table.
-  if (g_has_synonyms) {
-    const auto& syn = synonym_table();
-    for (size_t i = 0; i < nh; i++) {
-      if (hyp_to_ref[i] >= 0) continue;
-      auto it = syn.find(hyp[i]);
-      if (it == syn.end()) continue;
-      for (size_t j = 0; j < nr; j++) {
-        if (!ref_used[j] && it->second.count(ref[j])) {
-          hyp_to_ref[i] = static_cast<int>(j);
-          stage_w[i] = kWSynonym;
-          ref_used[j] = true;
-          break;
-        }
-      }
-    }
-  }
-
-  // Match records: word-stage matches are 1-1 blocks.
-  std::vector<MatchRec> records;
-  for (size_t i = 0; i < nh; i++)
-    if (hyp_to_ref[i] >= 0)
-      records.push_back({static_cast<int>(i), 1, hyp_to_ref[i], 1, stage_w[i]});
-
-  // Paraphrase stage: greedy, longest-span-first phrase matching over
-  // still-unmatched words (mirrors the Python matcher exactly; candidate
-  // order is table file order).
+  // Paraphrase stage: every table-backed span pair, both sides tokenized
+  // (the table is symmetric by construction). 1-1 span pairs already
+  // matched by a word stage are skipped.
   if (g_has_paraphrases) {
     const auto& table = paraphrase_table();
-    std::vector<bool> h_used(nh, false);
-    for (size_t i = 0; i < nh; i++) h_used[i] = hyp_to_ref[i] >= 0;
-    size_t i = 0;
-    while (i < nh) {
-      int matched_len = 0;
+    std::set<std::tuple<int, int, int, int>> seen;
+    for (size_t i = 0; i < nh; i++) {
       int max_lh = static_cast<int>(std::min<size_t>(kMaxPhraseLen, nh - i));
-      for (int lh = max_lh; lh >= 1 && !matched_len; lh--) {
-        bool any_used = false;
-        for (int k = 0; k < lh; k++) any_used |= h_used[i + k];
-        if (any_used) continue;
-        std::string phrase = hyp[i];
-        for (int k = 1; k < lh; k++) phrase += " " + hyp[i + k];
+      std::string phrase;
+      for (int lh = 1; lh <= max_lh; lh++) {
+        if (lh > 1) phrase += " ";
+        phrase += hyp[i + lh - 1];
         auto it = table.find(phrase);
         if (it == table.end()) continue;
         for (const auto& tw : it->second) {
@@ -351,22 +382,72 @@ Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>&
           if (lr == 0 || static_cast<size_t>(lr) > nr) continue;
           for (size_t j = 0; j + lr <= nr; j++) {
             bool ok = true;
-            for (int k = 0; k < lr && ok; k++)
-              ok = !ref_used[j + k] && ref[j + k] == tw[k];
+            for (int k = 0; k < lr && ok; k++) ok = ref[j + k] == tw[k];
             if (!ok) continue;
-            for (int k = 0; k < lh; k++) h_used[i + k] = true;
-            for (int k = 0; k < lr; k++) ref_used[j + k] = true;
-            records.push_back({static_cast<int>(i), lh, static_cast<int>(j), lr, kWParaphrase});
-            matched_len = lh;
-            break;
+            if (lh == 1 && lr == 1 && word_pairs.count({(int)i, (int)j})) continue;
+            if (!seen.insert({(int)i, lh, (int)j, lr}).second) continue;
+            cands.push_back({(int)i, lh, (int)j, lr, 3, kWParaphrase});
           }
-          if (matched_len) break;
         }
       }
-      i += matched_len ? matched_len : 1;
     }
   }
+  return cands;
+}
 
+// Meteor 1.5 alignment: resolve the candidate matches one-to-one with a beam
+// search over ref positions — at each position a partial alignment either
+// leaves the word unmatched or takes a candidate starting there whose spans
+// are still free — keeping the kBeamWidth best partials under
+// partial_better. This finds the max-covered / min-chunk alignment the jar's
+// resolver finds, where a greedy first-match sweep can mis-chunk segments
+// with repeated tokens.
+Stats align(const std::vector<std::string>& hyp, const std::vector<std::string>& ref,
+            double alpha, double beta, double gamma, double delta, double w_stem) {
+  size_t nh = hyp.size(), nr = ref.size();
+  std::vector<Cand> cands = collect_candidates(hyp, ref, w_stem);
+
+  std::vector<std::vector<int>> by_ref(nr);
+  for (size_t c = 0; c < cands.size(); c++) by_ref[cands[c].ri].push_back((int)c);
+
+  std::vector<Partial> beam;
+  beam.emplace_back(nh);
+  for (size_t j = 0; j < nr; j++) {
+    if (by_ref[j].empty()) continue;  // skip-only position: beam unchanged
+    std::vector<Partial> next = beam;  // every partial may leave ref j unmatched
+    for (const Partial& s : beam) {
+      if (s.next_free_ref > (int)j) continue;  // ref j consumed by a phrase match
+      for (int ci : by_ref[j]) {
+        const Cand& c = cands[ci];
+        if ((size_t)(c.ri + c.rl) > nr || s.h_used.any(c.hi, c.hl)) continue;
+        Partial t = s;
+        t.h_used.set(c.hi, c.hl);
+        t.covered += c.hl + c.rl;
+        if (c.hi != t.prev_hend || c.ri != t.prev_rend) t.chunks++;
+        t.dist += std::abs(c.hi - c.ri);
+        t.prev_hend = c.hi + c.hl;
+        t.prev_rend = c.ri + c.rl;
+        t.next_free_ref = c.ri + c.rl;
+        t.chosen.push_back(ci);
+        next.push_back(std::move(t));
+      }
+    }
+    if (next.size() > kBeamWidth) {
+      std::stable_sort(next.begin(), next.end(),
+                       [](const Partial& a, const Partial& b) { return partial_better(a, b); });
+      next.erase(next.begin() + kBeamWidth, next.end());
+    }
+    beam = std::move(next);
+  }
+  const Partial* best = &beam[0];
+  for (const Partial& s : beam)
+    if (partial_better(s, *best)) best = &s;
+
+  std::vector<MatchRec> records;
+  for (int ci : best->chosen) {
+    const Cand& c = cands[ci];
+    records.push_back({c.hi, c.hl, c.ri, c.rl, c.w});
+  }
   std::sort(records.begin(), records.end());
   Stats s;
   for (size_t i = 0; i < nh; i++) s.wlen_hyp += word_weight(hyp[i], delta);
@@ -415,7 +496,7 @@ extern "C" {
 // (falling back to the equivalent pure-Python scorer), so a stale binary can
 // never silently score with outdated alignment rules. Bump BOTH sides when
 // scoring semantics change.
-int meteor_abi_version() { return 2; }
+int meteor_abi_version() { return 3; }
 
 // Load (or clear, with path == nullptr) the paraphrase table used by the
 // optional phrase-matching stage. Lines: "phrase1 ||| phrase2" or the jar's

@@ -199,6 +199,52 @@ def test_meteor_chunks_require_adjacency_in_both_sentences():
         np.testing.assert_allclose(m.segment_stats(["5 6"], "5 9 6"), stats, rtol=1e-12)
 
 
+def test_meteor_repeated_tokens_resolve_to_min_chunks():
+    # hyp '1 2 1' vs ref '1 1 2': a greedy first-match sweep pairs hyp[0]
+    # with ref[0], forcing 3 chunks; the Meteor 1.5 resolution (max covered
+    # words, then min chunks) pairs hyp[0]->ref[1], hyp[1]->ref[2],
+    # hyp[2]->ref[0] for 2 chunks. Token-id caption strings DO repeat ids,
+    # so this is the production-protocol regression for the beam search.
+    from change3d_tpu.metrics.caption import meteor as m
+
+    stats = m._py_segment_stats(["1 1 2"], "1 2 1")
+    assert stats[4] == 3 and stats[5] == 2  # matches=3, chunks=2 (greedy: 3)
+    if m._load_native() is not None:
+        np.testing.assert_allclose(m.segment_stats(["1 1 2"], "1 2 1"), stats, rtol=1e-12)
+
+
+def test_meteor_coverage_beats_chunks():
+    # hyp '1 2' vs ref '2 1': full coverage costs 2 chunks; matching only
+    # one word would give 1 chunk. Coverage is the higher-priority objective,
+    # so the resolver must take both matches.
+    from change3d_tpu.metrics.caption import meteor as m
+
+    stats = m._py_segment_stats(["2 1"], "1 2")
+    assert stats[4] == 2 and stats[5] == 2
+    if m._load_native() is not None:
+        np.testing.assert_allclose(m.segment_stats(["2 1"], "1 2"), stats, rtol=1e-12)
+
+
+def test_meteor_repeated_tokens_native_matches_python():
+    # Stress native/Python agreement on repeat-heavy segments where multiple
+    # alignments tie on coverage and the chunk/distance tie-breaks decide.
+    from change3d_tpu.metrics.caption import meteor as m
+
+    if m._load_native() is None:
+        pytest.skip("no C++ toolchain")
+    cases = [
+        (["7 7 7 3 7"], "7 3 7 7"),
+        (["1 2 1 2 1"], "2 1 2 1 2"),
+        (["4 4 4 4"], "4 4"),
+        (["9 8 9 8 9 8 7"], "8 9 8 9 7 9"),
+        (["the the a the"], "a the the"),
+    ]
+    for refs, hyp in cases:
+        np.testing.assert_allclose(
+            m.segment_stats(refs, hyp), m._py_segment_stats(refs, hyp), rtol=1e-12
+        )
+
+
 @pytest.fixture()
 def paraphrase_table(tmp_path):
     # Both supported line formats; includes a 2<->1-word pair.
