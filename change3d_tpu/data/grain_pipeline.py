@@ -66,11 +66,12 @@ class GrainDataLoader:
             raise ValueError(
                 f"global batch_size {batch_size} must divide over {num_shards} processes"
             )
-        if pad_final and max(num_shards, 1) > 1:
-            # grain shards the record stream (interleaved), so the padded
-            # final-batch global-position bookkeeping the threaded loader does
-            # is not expressible here; use the threaded loader for sharded eval.
-            raise ValueError("GrainDataLoader does not support pad_final with num_shards > 1")
+        # pad_final with num_shards > 1 (multi-host padded eval) is supported
+        # via _sharded_padded_batches: grain's own interleaved ShardOptions
+        # cannot express the global-position bookkeeping, so that path builds
+        # the threaded loader's global batches itself (contiguous per-shard
+        # slice + global 'valid' mask) and uses grain only as the worker pool
+        # over this shard's index sequence.
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -86,6 +87,10 @@ class GrainDataLoader:
         self._epoch = 0
 
     def __len__(self):
+        if self.pad_final and self.num_shards > 1:
+            # Global batches with a padded final one: every process sees the
+            # same count regardless of how records interleave across shards.
+            return -(-len(self.dataset) // self.batch_size)
         # Global batch count: each process draws local_batch_size records per
         # batch from its shard of ~n/num_shards records.
         n_local = len(self.dataset) // self.num_shards
@@ -96,6 +101,14 @@ class GrainDataLoader:
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
+    def _epoch_seed(self) -> int:
+        # Per-epoch seed is a SeedSequence hash of (seed, epoch): epoch e of
+        # seed s must NOT replay epoch e-1 of seed s+1 (which `seed + epoch`
+        # would). The stream still differs from the threaded DataLoader's
+        # (seed, epoch, batch, slot) tuple seeding — runs are reproducible
+        # within a loader, not sample-for-sample identical across loaders.
+        return int(np.random.SeedSequence([self.seed, self._epoch]).generate_state(1)[0])
+
     def _grain_iter(self):
         import grain.python as gp
 
@@ -105,14 +118,7 @@ class GrainDataLoader:
             def random_map(self, idx, rng: np.random.Generator):
                 return ds.__getitem__(int(idx), rng)
 
-        # Per-epoch seed is a SeedSequence hash of (seed, epoch): epoch e of
-        # seed s must NOT replay epoch e-1 of seed s+1 (which `seed + epoch`
-        # would). The stream still differs from the threaded DataLoader's
-        # (seed, epoch, batch, slot) tuple seeding — runs are reproducible
-        # within a loader, not sample-for-sample identical across loaders.
-        epoch_seed = int(
-            np.random.SeedSequence([self.seed, self._epoch]).generate_state(1)[0]
-        )
+        epoch_seed = self._epoch_seed()
         shard_options = (
             gp.ShardOptions(
                 shard_index=self.shard_index,
@@ -148,7 +154,66 @@ class GrainDataLoader:
             batch["valid"] = np.arange(self.batch_size) < valid
         return batch
 
+    def _sharded_padded_iter(self) -> Iterator:
+        """Multi-host padded eval: every process computes the same global
+        batches (order, final-batch padding with the last index), takes its
+        contiguous [lo:hi) row slice, and attaches the global-position
+        'valid' mask sliced to its rows — sample-for-sample the threaded
+        DataLoader's sharded-eval contract (data/pipeline.py). grain serves
+        only as the deterministic worker pool over this shard's flattened
+        index sequence."""
+        import grain.python as gp
+
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self._epoch_seed()).shuffle(order)
+        lo = self.shard_index * self.local_batch_size
+        hi = lo + self.local_batch_size
+        flat, valids = [], []
+        for i in range(0, n, self.batch_size):
+            idxs = order[i : i + self.batch_size]
+            valid = len(idxs)
+            if valid < self.batch_size:
+                idxs = np.concatenate([idxs, np.full(self.batch_size - valid, idxs[-1])])
+            flat.extend(int(x) for x in idxs[lo:hi])
+            valids.append(valid)
+
+        record_of_pos = flat
+        ds = self.dataset
+
+        class LoadAt(gp.RandomMapTransform):
+            def random_map(self, pos, rng: np.random.Generator):
+                return ds.__getitem__(record_of_pos[int(pos)], rng)
+
+        sampler = gp.IndexSampler(
+            num_records=len(flat),
+            shuffle=False,
+            seed=self._epoch_seed(),
+            num_epochs=1,
+            shard_options=gp.NoSharding(),
+        )
+        loader = gp.DataLoader(
+            data_source=_IndexSource(len(flat)),
+            sampler=sampler,
+            operations=[LoadAt()],
+            worker_count=self.num_workers,
+            worker_buffer_size=max(1, self.prefetch),
+        )
+        samples, bi = [], 0
+        for sample in loader:
+            samples.append(sample)
+            if len(samples) == self.local_batch_size:
+                batch = self.collate(samples)
+                batch = dict(batch) if isinstance(batch, dict) else batch
+                batch["valid"] = (np.arange(self.batch_size) < valids[bi])[lo:hi]
+                yield batch
+                samples, bi = [], bi + 1
+
     def __iter__(self) -> Iterator:
+        if self.pad_final and self.num_shards > 1:
+            yield from self._sharded_padded_iter()
+            return
         samples = []
         for sample in self._grain_iter():
             samples.append(sample)

@@ -284,14 +284,11 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
     # ref: /root/reference/scripts/train_BDA.py:305-308).
     train_data = ds_cls(cfg.file_root, "train", train_tf)
     test_data = ds_cls(cfg.file_root, "test", eval_tf)
+    # Both loader kinds support multi-host padded eval: GrainDataLoader
+    # routes pad_final + num_shards>1 through its sharded-padded path
+    # (grain_pipeline._sharded_padded_iter), matching the threaded loader's
+    # global-position 'valid' contract — no fallback needed.
     eval_loader_kind = cfg.loader
-    if cfg.loader == "grain" and jax.process_count() > 1:
-        # grain shards the record stream, so the padded-final-batch
-        # global-position bookkeeping eval needs is not expressible there;
-        # keep grain for training (where it shines) and fall back for eval.
-        print("eval loader falls back to 'threaded' (grain cannot pad-final "
-              "shard across processes); training keeps grain")
-        eval_loader_kind = "threaded"
     train_loader = make_data_loader(
         cfg.loader, train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers, collate=pair_collate, drop_last=True,
@@ -344,28 +341,29 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        last_metrics, last_sampled, last_i = None, -1, -1
+        # Every step's loss is retained as a DEVICE scalar (no host sync —
+        # the queue stays full) and reduced on device at epoch end, so the
+        # logged epoch loss is the exact every-iteration mean the reference
+        # logs (ref: /root/reference/scripts/train_BCD.py:227-232). Only the
+        # progress prints host-sync, every 50 iters.
         losses = []
         n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             tracer.tick(i)
             state, last_metrics = train_step(state, batch, step_rng)
-            if i % 50 == 0:  # periodic host sync only; keeps the device queue full
-                losses.append(float(jax.device_get(last_metrics["loss"])))
-                last_sampled = i
-                if i and n_batches:  # iteration progress + ETA (ref prints
-                    # every 5 iters; 50 here keeps the device queue full)
-                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
-                    print(
-                        f"  [epoch {epoch}] iter {i}/{n_batches} "
-                        f"loss {losses[-1]:.4f} eta {eta:.0f}s",
-                        flush=True,
-                    )
-            last_i = i
+            losses.append(last_metrics["loss"])
+            if i % 50 == 0 and i and n_batches:  # iteration progress + ETA
+                # (ref prints every 5 iters; 50 keeps the device queue full)
+                eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                print(
+                    f"  [epoch {epoch}] iter {i}/{n_batches} "
+                    f"loss {float(jax.device_get(losses[-1])):.4f} eta {eta:.0f}s",
+                    flush=True,
+                )
         tracer.close()
-        if last_metrics is not None and last_i != last_sampled:
-            losses.append(float(jax.device_get(last_metrics["loss"])))
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        mean_loss = (
+            float(jax.device_get(jnp.mean(jnp.stack(losses)))) if losses else float("nan")
+        )
         print(f"[epoch {epoch}] train loss {mean_loss:.4f} ({time.time() - t0:.1f}s)")
 
         if epoch == 0:

@@ -8,7 +8,8 @@ batch assembly, GSPMD cross-host gradient/batch-stat reductions, per-epoch
 eval with the padded-final-batch mask, orbax checkpointing (all processes
 participate), and the best-model re-eval.
 
-Run:  python tests/manual_multihost_drive.py
+Run:  python tests/manual_multihost_drive.py [-- extra cli flags...]
+e.g.  python tests/manual_multihost_drive.py -- --loader grain
 Pass criteria: both ranks exit 0 and report the same final F1.
 """
 
@@ -41,7 +42,7 @@ results = main([
     "--num_workers", "1", "--no-remat",
     "--coordinator_address", {addr!r},
     "--num_processes", "2", "--process_id", str(rank),
-])
+] + {extra!r})
 final = results.get("test_best") or results.get("last") or {{}}
 print(f"RANK{{rank}} F1={{float(final.get('F1', -1)):.6f}}", flush=True)
 """
@@ -59,7 +60,10 @@ def main() -> int:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     addr = f"127.0.0.1:{port}"
-    code = _WORKER.format(repo=REPO, root=root, save=save, addr=addr)
+    extra = sys.argv[1:]
+    if extra and extra[0] == "--":
+        extra = extra[1:]
+    code = _WORKER.format(repo=REPO, root=root, save=save, addr=addr, extra=extra)
     env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
     procs = [
         subprocess.Popen(
