@@ -457,34 +457,37 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
+        # Every step's loss/top1 is retained as a DEVICE scalar (no host
+        # sync — the queue stays full) and reduced on device at epoch end,
+        # so the logged epoch mean is the exact every-iteration mean the
+        # reference logs (ref: /root/reference/scripts/train_CC.py:152-160).
+        # Only the progress prints host-sync, every 50 iters.
         losses, top1s = [], []
-        last_metrics, last_sampled, last_i = None, -1, -1
         n_batches = len(train_loader)
         for i, batch in enumerate(device_prefetch(train_loader, bsh)):
             tracer.tick(i)
             batch.pop("all_captions", None)
             state, last_metrics = train_step(state, batch, rng)
-            if i % 50 == 0:  # periodic host sync only; keeps the device queue full
+            losses.append(last_metrics["loss"])
+            top1s.append(last_metrics["top1"])
+            if i % 50 == 0 and i and n_batches:
                 host = jax.device_get(last_metrics)
-                losses.append(float(host["loss"]))
-                top1s.append(float(host["top1"]))
-                last_sampled = i
-                if i and n_batches:
-                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
-                    print(
-                        f"  [epoch {epoch}] iter {i}/{n_batches} "
-                        f"loss {losses[-1]:.4f} top1 {top1s[-1]:.2f} eta {eta:.0f}s",
-                        flush=True,
-                    )
-            last_i = i
+                eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                print(
+                    f"  [epoch {epoch}] iter {i}/{n_batches} "
+                    f"loss {float(host['loss']):.4f} top1 {float(host['top1']):.2f} "
+                    f"eta {eta:.0f}s",
+                    flush=True,
+                )
         tracer.close()
-        if last_metrics is not None and last_i != last_sampled:
-            host = jax.device_get(last_metrics)
-            losses.append(float(host["loss"]))
-            top1s.append(float(host["top1"]))
+        mean_loss, mean_top1 = (
+            jax.device_get((jnp.mean(jnp.stack(losses)), jnp.mean(jnp.stack(top1s))))
+            if losses
+            else (np.nan, np.nan)
+        )
         print(
-            f"[epoch {epoch}] loss {np.mean(losses) if losses else np.nan:.4f} "
-            f"top1 {np.mean(top1s) if top1s else np.nan:.2f} ({time.time() - t0:.1f}s)"
+            f"[epoch {epoch}] loss {float(mean_loss):.4f} "
+            f"top1 {float(mean_top1):.2f} ({time.time() - t0:.1f}s)"
         )
 
         scores = evaluate_captions(
