@@ -141,11 +141,20 @@ class Predictor:
             # stage the whole batch on device 0 before resharding.
             self._put_batch = lambda arr: jax.device_put(arr, bsh)
         self.variables = variables
+        self._embed_weights = embed_weights
+        self._forward_u8 = None  # built lazily by predict_u8
         fwd = self._make_forward()
         if embed_weights:
             self._forward = jax.jit(lambda v, pre, post: fwd(variables, pre, post))
         else:
             self._forward = jax.jit(fwd)
+
+    def _jit(self, fwd):
+        """jit with the predictor's embed_weights policy applied."""
+        if self._embed_weights:
+            variables = self.variables
+            return jax.jit(lambda v, pre, post: fwd(variables, pre, post))
+        return jax.jit(fwd)
 
     def _make_forward(self):
         model, dtype = self.model, self.compute_dtype
@@ -189,6 +198,47 @@ class Predictor:
         BCD: {'change': bool mask}; SCD: {'pre','post': class ids, 'change'};
         BDA: {'cls': class ids, 'loc': bool mask}."""
         return self.harden(self.predict_probs(pre, post))
+
+    def _make_forward_u8(self):
+        model, dtype = self.model, self.compute_dtype
+
+        def forward(variables, pre, post):
+            # Detection eval normalization ((x/255 - .5)/.5 == x/127.5 - 1,
+            # data.transforms.eval_normalize) fused into the jitted forward.
+            def norm(a):
+                return a.astype(dtype) * jnp.asarray(1.0 / 127.5, dtype) - 1.0
+
+            out = model.apply(variables, norm(pre), norm(post), train=False)
+            hard = {}
+            for key, val in out.items():
+                if key in ("change", "loc"):
+                    hard[key] = val[..., 0] > 0.5
+                elif key in ("pre", "post", "cls"):
+                    hard[key] = jnp.argmax(val, axis=-1).astype(jnp.uint8)
+                else:
+                    hard[key] = val
+            return hard
+
+        return forward
+
+    def predict_u8(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """Transfer-lean serving forward: raw [B,H,W,3] uint8 in, hardened
+        masks out (same decisions as :meth:`predict` on eval-normalized
+        floats — sigmoid/softmax are monotone, so thresholding/argmaxing on
+        device is exact, not approximate).
+
+        Both the eval normalization and the hardening run inside one jitted
+        computation, so host<->device traffic is uint8 pixels up and
+        bool/uint8 masks down — ~4x less up and 4-30x less down than the
+        float path. That is the difference between compute-bound and
+        link-bound serving when the chip sits behind a slow tunnel
+        (tests/manual_serve_bench.py measures the served effect)."""
+        if self._forward_u8 is None:
+            self._forward_u8 = self._jit(self._make_forward_u8())
+        out = self._forward_u8(
+            self.variables, self._put_batch(pre), self._put_batch(post)
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
 
 class ArtifactPredictor:
@@ -320,6 +370,7 @@ class CaptionPredictor(Predictor):
         self.word_map = word_map
         self.rev = {v: k for k, v in word_map.items()}
         self.beam_size = beam_size
+        self._decode_u8 = None  # built lazily by caption_u8
         dec = self._make_decode()
         if embed:
             self._decode = jax.jit(lambda v, pre, post: dec(variables, pre, post))
@@ -353,6 +404,30 @@ class CaptionPredictor(Predictor):
 
     def caption(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
         tokens, _ = self._decode(
+            self.variables, self._put_batch(pre), self._put_batch(post)
+        )
+        return tokens_to_captions(tokens, self.word_map)
+
+    def caption_u8(self, pre: np.ndarray, post: np.ndarray) -> List[str]:
+        """Transfer-lean captioning: raw [B,H,W,3] uint8 in; the ImageNet
+        normalization (/255, mean/std — ref:
+        /root/reference/scripts/train_CC.py:466-469) runs inside the jitted
+        decode, so only uint8 pixels cross the host->device link."""
+        if self._decode_u8 is None:
+            from change3d_tpu.data.datasets import CaptionDataset
+
+            dec = self._make_decode()
+            mean = jnp.asarray(CaptionDataset.MEAN)
+            std = jnp.asarray(CaptionDataset.STD)
+
+            def decode_u8(variables, pre, post):
+                def norm(a):
+                    return (a.astype(jnp.float32) / 255.0 - mean) / std
+
+                return dec(variables, norm(pre), norm(post))
+
+            self._decode_u8 = self._jit(decode_u8)
+        tokens, _ = self._decode_u8(
             self.variables, self._put_batch(pre), self._put_batch(post)
         )
         return tokens_to_captions(tokens, self.word_map)

@@ -30,8 +30,9 @@ import json
 import signal
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional, Tuple
+from typing import Deque, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -45,12 +46,18 @@ class _Stats:
 
     def __init__(self, window: int = 1024):
         self._lock = threading.Lock()
-        self.requests_total = 0
-        self.errors_total = 0
-        self.batches_total = 0
-        self.batched_requests_total = 0
-        self._latencies: List[float] = []
         self._window = window
+        self.reset()
+
+    def reset(self):
+        """Zero every counter (e.g. after warmup, so /metrics reflects only
+        real traffic). Safe to call concurrently with recording."""
+        with self._lock:
+            self.requests_total = 0
+            self.errors_total = 0
+            self.batches_total = 0
+            self.batched_requests_total = 0
+            self._latencies: Deque[float] = deque(maxlen=self._window)
 
     def record_request(self, seconds: float, ok: bool):
         with self._lock:
@@ -58,8 +65,6 @@ class _Stats:
             if not ok:
                 self.errors_total += 1
             self._latencies.append(seconds)
-            if len(self._latencies) > self._window:
-                self._latencies = self._latencies[-self._window :]
 
     def record_batch(self, fill: int):
         with self._lock:
@@ -266,14 +271,25 @@ class PredictService:
             # the single dispatcher thread provides this serialization.
             self._tiled_lock = threading.Lock()
             self._batcher = None
+            self._u8 = False  # tile blending needs the soft float maps
         else:
             self._tiled = None
+            # Transfer-lean path: live Predictors take raw uint8 and run the
+            # normalize + harden inside the jitted forward, so the
+            # host<->device link carries uint8 pixels and bool/uint8 masks
+            # instead of fp32 images and fp32 probability maps (4-30x fewer
+            # bytes — decisive when the chip is behind a tunnel). Artifact
+            # predictors keep the float path (their forward is baked).
             if task == "cc":
+                self._u8 = hasattr(predictor, "caption_u8")
+                caption_fn = predictor.caption_u8 if self._u8 else predictor.caption
+
                 def predict_batch(pre, post):
-                    caps = predictor.caption(pre, post)
+                    caps = caption_fn(pre, post)
                     return {"caption": np.array(caps, dtype=object)}
             else:
-                predict_batch = predictor.predict
+                self._u8 = hasattr(predictor, "predict_u8")
+                predict_batch = predictor.predict_u8 if self._u8 else predictor.predict
             self._batcher = _Batcher(
                 predict_batch, batch_size, max_delay_ms / 1000.0, stats=self.stats
             )
@@ -281,12 +297,15 @@ class PredictService:
             # One dummy full batch at startup so the first real client pays
             # serving latency, not the cold XLA compile (minutes on a cold
             # cache). Runs through the normal batcher/dispatch path.
-            z = np.zeros(self.in_hw + (3,), np.float32)
+            z = np.zeros(self.in_hw + (3,), np.uint8 if self._u8 else np.float32)
             self._batcher.submit(z, z)
-            self.stats.__init__()  # don't count the warmup in /metrics
+            self.stats.reset()  # don't count the warmup in /metrics
 
     def handle(self, body: dict) -> Dict[str, str]:
-        norm = _normalize_cc if self.task == "cc" else _normalize
+        if self._u8:
+            norm = np.ascontiguousarray  # normalization runs on device
+        else:
+            norm = _normalize_cc if self.task == "cc" else _normalize
         try:
             pre = norm(decode_image(body["pre"], to_rgb=self.to_rgb))
             post = norm(decode_image(body["post"], to_rgb=self.to_rgb))

@@ -58,6 +58,36 @@ def test_bcd_predictor_embed_weights_matches():
     assert emb.predict(a, b)["change"].shape == (2, H, W)
 
 
+def test_predict_u8_matches_float_path():
+    """The transfer-lean uint8 serving forward (on-device normalize +
+    harden) must make the same decisions as host-normalize -> predict,
+    for a binary and a multi-class task."""
+    import jax.numpy as jnp
+
+    from change3d_tpu.data.transforms import eval_normalize
+
+    rng = np.random.RandomState(2)
+    a8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    b8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    for task, keys in ((Task.BCD, ["change"]), (Task.SCD, ["pre", "post", "change"])):
+        model = Change3D(task=task, in_height=H, in_width=W, backbone_cfg=TINY_CFG,
+                         num_classes=1 if task == Task.BCD else 6)
+        pred = Predictor(model, _init(model), compute_dtype=jnp.float32)
+        host = pred.predict(
+            np.stack([eval_normalize(x) for x in a8]),
+            np.stack([eval_normalize(x) for x in b8]),
+        )
+        dev = pred.predict_u8(a8, b8)
+        for k in keys:
+            np.testing.assert_array_equal(np.asarray(dev[k]), np.asarray(host[k]), err_msg=f"{task} {k}")
+    # embed_weights variant routes through the same lazy jit helper.
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    variables = _init(model)
+    base = Predictor(model, variables, compute_dtype=jnp.float32)
+    emb = Predictor(model, variables, compute_dtype=jnp.float32, embed_weights=True)
+    np.testing.assert_array_equal(emb.predict_u8(a8, b8)["change"], base.predict_u8(a8, b8)["change"])
+
+
 def test_sharded_predictor_matches_single_device():
     """shard=True spreads the batch over the 8-virtual-device mesh (params
     replicated, batch sharded — the engine's GSPMD layout) with per-sample
@@ -137,3 +167,10 @@ def test_caption_predictor():
     captions = pred.caption(rng.randn(2, H, W, 3).astype(np.float32), rng.randn(2, H, W, 3).astype(np.float32))
     assert len(captions) == 2
     assert all(isinstance(c, str) for c in captions)
+    # uint8 fast path == host ImageNet normalize -> caption.
+    from change3d_tpu.data.datasets import CaptionDataset
+
+    a8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    b8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    norm = lambda x: (x.astype(np.float32) / 255.0 - CaptionDataset.MEAN) / CaptionDataset.STD
+    assert pred.caption_u8(a8, b8) == pred.caption(norm(a8), norm(b8))
