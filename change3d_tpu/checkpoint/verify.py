@@ -44,6 +44,7 @@ def capture_block_activations(backbone_variables: Dict, cfg, x_ncdhw: np.ndarray
     """Eval-mode per-block forward through our X3D; returns activations in the
     torch NCDHW layout (for direct comparison with a recorded torch trace),
     plus the Kinetics head logits."""
+    import jax
     import jax.numpy as jnp
 
     from change3d_tpu.models.x3d import X3D
@@ -58,7 +59,11 @@ def capture_block_activations(backbone_variables: Dict, cfg, x_ncdhw: np.ndarray
             outs.append(x)
         return outs, m.head(x, train=False)
 
-    outs, logits = model.apply(backbone_variables, x, method=run)
+    # Parity demands true fp32 convolutions: on TPU the default precision
+    # runs fp32 convs as bf16x bf16 passes, which injects ~1e-2 errors that
+    # would swamp the converter signal this harness exists to measure.
+    with jax.default_matmul_precision("highest"):
+        outs, logits = model.apply(backbone_variables, x, method=run)
     acts = {
         name: np.transpose(np.asarray(o), (0, 4, 1, 2, 3))
         for name, o in zip(BLOCK_NAMES, outs)

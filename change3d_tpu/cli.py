@@ -358,6 +358,8 @@ def build_parser() -> argparse.ArgumentParser:
     vc.add_argument("--seed", type=int, default=0)
     vc.add_argument("--rtol", type=float, default=None)
     vc.add_argument("--atol", type=float, default=None)
+    vc.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force a JAX platform (e.g. cpu when no TPU link)")
     return parser
 
 

@@ -14,9 +14,20 @@ import torch.nn.functional as F
 from change3d_tpu.models.x3d import X3DConfig, x3d_l_config
 
 
-def make_random_x3d_state_dict(cfg: X3DConfig | None = None, seed: int = 0):
+def make_random_x3d_state_dict(
+    cfg: X3DConfig | None = None, seed: int = 0, fan_scaled: bool = False
+):
     """Random state_dict with the exact pytorchvideo key names/shapes that
-    X3D_L.pyth carries."""
+    X3D_L.pyth carries.
+
+    ``fan_scaled=True`` rescales every conv/linear weight to std
+    1/sqrt(fan_in) (LeCun magnitude). The default scale=0.2 is fine for the
+    tiny test configs, but at full X3D-L depth (55 res blocks) per-layer
+    gain > 1 compounds exponentially and activations reach ~1e13 by stage 4
+    — where fp32 summation-order differences swamp any real parity signal.
+    Trained checkpoints are variance-stable by construction; fan scaling
+    makes the synthetic full-scale drill (tests/manual_verify_drill.py)
+    match that regime."""
     cfg = cfg or x3d_l_config()
     rng = np.random.RandomState(seed)
     sd = {}
@@ -65,6 +76,11 @@ def make_random_x3d_state_dict(cfg: X3DConfig | None = None, seed: int = 0):
     sd["blocks.5.pool.post_conv.weight"] = t(cfg.head_dim_out, inner, 1, 1, 1)
     sd["blocks.5.proj.weight"] = t(cfg.num_classes, cfg.head_dim_out, scale=0.05)
     sd["blocks.5.proj.bias"] = t(cfg.num_classes)
+    if fan_scaled:
+        for k, v in sd.items():
+            if k.endswith(".weight") and v.dim() >= 2:
+                fan_in = int(np.prod(v.shape[1:]))
+                sd[k] = v * (1.0 / (float(v.std()) * np.sqrt(fan_in)))
     return sd
 
 
