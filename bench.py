@@ -24,6 +24,9 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 1.0 / 0.015
 ITERS = 20
+# Committed floor for the default production config (see
+# tests/manual_bench_floor.py, which enforces it as a test).
+FLOOR_PAIRS_PER_SEC = 645.0
 
 
 def probe_backend(timeout_s: float = 180.0) -> str:
@@ -171,16 +174,24 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
     pairs_per_sec = batch * ITERS / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "bcd_eval_pairs_per_sec_256",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/sec",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-            }
+    rec = {
+        "metric": "bcd_eval_pairs_per_sec_256",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+    }
+    # In-bench floor guard (default production config only — A/B configs have
+    # their own economics): a run below the committed floor is flagged in the
+    # record itself, so a regression is visible in BENCH_r*.json without
+    # running tests/manual_bench_floor.py. Warning, not failure: a single low
+    # number can be relay congestion (re-measure before believing it).
+    if batch == 128 and stages == (0,) and not flags and pairs_per_sec < FLOOR_PAIRS_PER_SEC:
+        rec["warning"] = (
+            f"below committed floor {FLOOR_PAIRS_PER_SEC} pairs/s — relay "
+            "congestion or a real regression; re-run to distinguish"
         )
-    )
+        print(rec["warning"], file=sys.stderr)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
