@@ -93,9 +93,12 @@ def test_grain_sharded_loader_partitions_records(bcd_root):  # noqa: F811
     flat = np.concatenate(seen).reshape(4, -1)
     assert len({tuple(r) for r in flat}) == 4
 
-    with pytest.raises(ValueError, match="pad_final"):
-        GrainDataLoader(ds, 4, pad_final=True, num_shards=2, shard_index=0,
-                        collate=pair_collate)
+    # pad_final + sharding (multi-host padded eval) is supported since the
+    # _sharded_padded_batches path landed; full semantics are covered by
+    # test_grain_pipeline.test_grain_loader_sharded_pad_final_matches_threaded.
+    padded = GrainDataLoader(ds, 4, pad_final=True, num_shards=2, shard_index=0,
+                             num_workers=0, collate=pair_collate)
+    assert sum(1 for _ in padded) == 2  # ceil(5/4) global batches
 
 
 def test_threaded_and_grain_loaders_agree_without_augmentation(bcd_root):  # noqa: F811
