@@ -26,7 +26,9 @@ BASELINE_PAIRS_PER_SEC = 1.0 / 0.015
 ITERS = 20
 # Committed floor for the default production config (see
 # tests/manual_bench_floor.py, which enforces it as a test).
-FLOOR_PAIRS_PER_SEC = 645.0
+# Round-4 pin: b128 packed+embed = 701.7 pairs/s (x3 runs: 701.67/701.73/
+# 701.73); floor ~4% under.
+FLOOR_PAIRS_PER_SEC = 673.0
 
 
 def probe_backend(timeout_s: float = 180.0) -> str:
@@ -65,7 +67,7 @@ def main():
             "value": 0.0,
             "unit": "pairs/sec",
             "vs_baseline": 0.0,
-            "error": err + " — committed floor is 645 pairs/s, pinned 673.3 "
+            "error": err + " — committed floor is 673 pairs/s, pinned 701.7 "
                      "(tests/manual_bench_floor.py); re-run when the TPU "
                      "link is healthy",
         }))
@@ -82,15 +84,17 @@ def main():
 
     from change3d_tpu.models.x3d import x3d_l_config
 
-    # Production eval config (round 3, this chip): batch 128, packed stage 1.
-    # Measured ladder (pairs/s): b64 none 430, b64 packed 481, b64
-    # packed+fused 493, b96 packed+fused 583, b128 packed+fused 664,
-    # b128 packed 673 (x2 runs), b256 packed+fused 664 (saturated). The fused
-    # stage-3 kernel wins at b64 but loses ~1.4% at b128 where XLA pipelines
-    # the larger batch better, so production is packed-only at b128.
-    # Round-2's 464.85 record was relay congestion — four round-3 re-runs of
-    # the same b64-packed config measured 481.5/480.9/481.0/481.2 (+-0.3).
-    # tests/manual_bench_floor.py guards the committed floor.
+    # Production eval config (round 4, this chip): batch 128, packed stage 1,
+    # embedded weights = 701.7 pairs/s. Full ladder in BENCH_EVAL.json;
+    # highlights (pairs/s): b64 none 430, b64 packed 481, b64 packed+fused
+    # 493, b96 packed+fused 583, b128 packed+fused 664, b128 packed 673
+    # (x2 runs), b256 packed+fused 664 (saturated), b128 packed+embed 701.7
+    # (x3 runs), b128 embed+fused 671, b160 embed 480, b192/b128-int8s OOM.
+    # The fused stage-3 kernel wins at b64 but loses ~1.4% at b128 where XLA
+    # pipelines the larger batch better, so production is packed-only + embed
+    # at b128. Round-2's 464.85 record was relay congestion — four round-3
+    # re-runs of the same b64-packed config measured 481.5/480.9/481.0/481.2
+    # (+-0.3). tests/manual_bench_floor.py guards the committed floor.
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     # Time-packed stage 1 (ops/packed.py), equality-tested against the
     # standard path. Measured on this chip (round 2): none 430, (0,) 481,
@@ -105,19 +109,29 @@ def main():
             () if sys.argv[2] == "none"
             else tuple(int(s) for s in sys.argv[2].split(","))
         )
-    # argv[3:] is a set of A/B flags:
+    # argv[3:] is a set of A/B flags (default: "embed" — the production
+    # inference mode; pass "plain" to bench the weights-as-arguments path):
     # - "fused": fused stage-3 Pallas blocks (ops/pallas/fused_block.py),
     #   equality-tested and TPU-measured since round 3 (the round-2 Mosaic
     #   blocker was a 1-D dot lowering bug, worked around in the SE kernel).
     #   +2.5% at b64, -1.4% at the production b128 — off by default.
-    # - "embed": close over the weights at jit time (serving mode) so the BN
-    #   scale/shift vectors become compile-time constants XLA can fold into
-    #   neighboring work instead of runtime parameters.
+    # - "embed": close over the weights at jit time (exact numerics; what
+    #   Predictor(embed_weights=True) — the cli predict/serve default — does)
+    #   so the BN scale/shift vectors become compile-time constants XLA can
+    #   fold into neighboring work instead of runtime parameters. Measured
+    #   round 4: 701.7 vs 673.3 at b128 (+4.2%), production default since.
     # - "int8": dynamic int8 quantization of the MXU convs (ops/quant.py) —
-    #   approximate numerics, serving path.
+    #   approximate numerics, serving path. Measured round 4 and REJECTED:
+    #   b64 425.7 vs bf16 481 — the per-conv max-abs requant reductions eat
+    #   more than the MXU issue-rate win returns at these VPU-bound shapes.
     # - "int8s": STATIC int8 — activation scales calibrated on two random
     #   batches then frozen, so the quantize has no runtime reduction.
-    flags = set(sys.argv[3:])
+    #   Measured round 4 and REJECTED at the production point: OOM at b128
+    #   (extra int8 activation copies), dead-even with bf16 at b96
+    #   (559.2 vs 560.0; 571.0 with embed), wins only at b64 (517.8 vs 481)
+    #   — strictly dominated by running b128.
+    flags = set(sys.argv[3:]) if len(sys.argv) > 3 else {"embed"}
+    flags.discard("plain")
     fused = "fused" in flags
     embed = "embed" in flags
     backbone = dataclasses.replace(
@@ -185,7 +199,7 @@ def main():
     # record itself, so a regression is visible in BENCH_r*.json without
     # running tests/manual_bench_floor.py. Warning, not failure: a single low
     # number can be relay congestion (re-measure before believing it).
-    if batch == 128 and stages == (0,) and not flags and pairs_per_sec < FLOOR_PAIRS_PER_SEC:
+    if batch == 128 and stages == (0,) and flags == {"embed"} and pairs_per_sec < FLOOR_PAIRS_PER_SEC:
         rec["warning"] = (
             f"below committed floor {FLOOR_PAIRS_PER_SEC} pairs/s — relay "
             "congestion or a real regression; re-run to distinguish"

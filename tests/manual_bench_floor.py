@@ -14,9 +14,11 @@ import json
 import subprocess
 import sys
 
-# (command, metric, floor, pinned round-3 value)
+# (command, metric, floor, pinned value)
 CHECKS = [
-    ([sys.executable, "bench.py"], "bcd_eval_pairs_per_sec_256", 645.0, 673.3),
+    # Round-4 production config: b128 packed + embedded weights (bench.py
+    # default since round 4; ladder + decision in BENCH_EVAL.json).
+    ([sys.executable, "bench.py"], "bcd_eval_pairs_per_sec_256", 673.0, 701.7),
     ([sys.executable, "bench_train.py"], "bcd_train_samples_per_sec_256", 90.0, None),
 ]
 
