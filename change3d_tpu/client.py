@@ -55,6 +55,7 @@ class PredictClient:
     def __init__(self, base_url: str, *, timeout: float = 600.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self._task = None  # lazily fetched from /healthz for predict_raw
 
     def _get(self, path: str) -> dict:
         with urllib.request.urlopen(self.base_url + path, timeout=self.timeout) as r:
@@ -96,3 +97,54 @@ class PredictClient:
             key: val if key == "caption" else _from_png_b64(val)
             for key, val in payload.items()
         }
+
+    def predict_raw(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, Union[np.ndarray, str]]:
+        """Codec-free fast path: ships the uint8 pixels as one
+        ``application/octet-stream`` body (no PNG, no base64, no JSON) and
+        reads the masks back the same way — byte-identical results to
+        :meth:`predict`, at a fraction of the per-request host CPU on both
+        ends. Same input convention as :meth:`predict` (images AS STORED ON
+        DISK, i.e. cv2/BGR channel order): the client flips to the model's
+        RGB order for non-BDA tasks before sending, because the raw wire
+        carries bytes straight into the model."""
+        pre = np.asarray(pre, np.uint8)
+        post = np.asarray(post, np.uint8)
+        if pre.shape != post.shape or pre.ndim != 3 or pre.shape[-1] != 3:
+            raise ValueError(f"need matching HWC uint8 images, got "
+                             f"{pre.shape} / {post.shape}")
+        if self._task is None:
+            self._task = self.health()["task"]
+        if self._task != "bda":  # BGR on disk -> model's RGB pin
+            pre, post = pre[:, :, ::-1], post[:, :, ::-1]
+        h, w = pre.shape[:2]
+        body = np.ascontiguousarray(pre).tobytes() + np.ascontiguousarray(post).tobytes()
+        req = urllib.request.Request(
+            self.base_url + "/v1/predict", body,
+            headers={
+                "Content-Type": "application/octet-stream",
+                "Accept": "application/octet-stream",
+                "X-Height": str(h),
+                "X-Width": str(w),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                if r.headers.get("Content-Type", "").startswith("application/json"):
+                    return json.loads(r.read())  # cc: {"caption": str}
+                parts = r.headers["X-Parts"]
+                data = r.read()
+        except urllib.error.HTTPError as e:
+            try:
+                reason = json.loads(e.read()).get("error", str(e))
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                reason = str(e)
+            raise RuntimeError(f"predict failed ({e.code}): {reason}") from e
+        out: Dict[str, Union[np.ndarray, str]] = {}
+        off = 0
+        for part in parts.split(","):
+            name, ph, pw = part.split(":")
+            n = int(ph) * int(pw)
+            out[name] = np.frombuffer(data[off:off + n], np.uint8).reshape(
+                int(ph), int(pw))
+            off += n
+        return out

@@ -14,13 +14,25 @@ StableHLO artifact — into a long-lived batching prediction service:
 - **Stateless HTTP/JSON API** (stdlib http.server, threading): POST
   ``/v1/predict`` with base64-PNG ``pre``/``post``; masks come back as
   base64 PNGs. ``GET /healthz`` reports readiness and config.
+- **Raw binary wire format** (the production fast path): POST the same
+  endpoint with ``Content-Type: application/octet-stream``, headers
+  ``X-Height``/``X-Width``, and a body of exactly ``2*H*W*3`` uint8 bytes
+  (pre then post, HWC, already in the task's channel order — RGB except
+  BDA's BGR). Send ``Accept: application/octet-stream`` to get the masks
+  back as one concatenated uint8 body described by an ``X-Parts`` header
+  (``name:height:width,...``). This skips PNG codec + base64 + JSON on
+  both directions — on a host with few cores the JSON path is codec-bound
+  long before the chip saturates (tests/manual_serve_bench.py --wire
+  measures the difference); the values are byte-identical to what the
+  JSON path's PNGs decode to.
 - **Tiled mode**: ``tiled=True`` serves native-resolution scenes through
   :class:`~change3d_tpu.inference.TiledPredictor` (per-request windowing,
   no cross-request batching).
 
 Channel order matches the training data pins (`data/datasets.py`): BCD/SCD
 decode to RGB, BDA stays BGR — send PNGs as saved on disk and the server
-handles it.
+handles it (raw bodies skip that convenience; PredictClient.predict_raw
+restores it client-side).
 """
 
 from __future__ import annotations
@@ -126,21 +138,29 @@ def encode_mask(mask: np.ndarray) -> str:
     return base64.b64encode(buf.tobytes()).decode("ascii")
 
 
-def masks_to_payload(task: str, out: Dict[str, np.ndarray]) -> Dict[str, str]:
-    """Hardened per-image maps -> base64-PNG response fields (the same
-    per-task files cli predict writes). CC returns plain text."""
-    if task == "cc":
-        return {"caption": str(out["caption"])}
+def masks_to_arrays(task: str, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Hardened per-image maps -> the uint8 arrays the response carries
+    (exactly the pixel values the JSON path's PNGs encode; the same
+    per-task files cli predict writes)."""
+    u8 = lambda a: np.ascontiguousarray(np.asarray(a).astype(np.uint8))
     if task == "bcd":
-        return {"change": encode_mask(out["change"] * 255)}
+        return {"change": u8(out["change"] * 255)}
     if task == "scd":
         change = out["change"]
         return {
-            "pre": encode_mask(out["pre"] * change),
-            "post": encode_mask(out["post"] * change),
-            "change": encode_mask(change * 255),
+            "pre": u8(out["pre"] * change),
+            "post": u8(out["post"] * change),
+            "change": u8(change * 255),
         }
-    return {"loc": encode_mask(out["loc"] * 255), "cls": encode_mask(out["cls"])}
+    return {"loc": u8(out["loc"] * 255), "cls": u8(out["cls"])}
+
+
+def masks_to_payload(task: str, out: Dict[str, np.ndarray]) -> Dict[str, str]:
+    """Hardened per-image maps -> base64-PNG response fields. CC returns
+    plain text."""
+    if task == "cc":
+        return {"caption": str(out["caption"])}
+    return {k: encode_mask(v) for k, v in masks_to_arrays(task, out).items()}
 
 
 class _Batcher:
@@ -301,29 +321,59 @@ class PredictService:
             self._batcher.submit(z, z)
             self.stats.reset()  # don't count the warmup in /metrics
 
-    def handle(self, body: dict) -> Dict[str, str]:
+    def _norm(self, img: np.ndarray) -> np.ndarray:
+        """uint8 HWC in the task's channel order -> what the predictor eats
+        (passthrough when normalization runs on device)."""
         if self._u8:
-            norm = np.ascontiguousarray  # normalization runs on device
-        else:
-            norm = _normalize_cc if self.task == "cc" else _normalize
-        try:
-            pre = norm(decode_image(body["pre"], to_rgb=self.to_rgb))
-            post = norm(decode_image(body["post"], to_rgb=self.to_rgb))
-        except (KeyError, ValueError, TypeError) as e:
-            raise _BadRequest(f"bad pre/post image: {e}") from e
+            return np.ascontiguousarray(img)
+        return (_normalize_cc if self.task == "cc" else _normalize)(img)
+
+    def _predict_maps(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
+        """Normalized (or raw-u8) inputs -> hardened per-image maps."""
         if pre.shape != post.shape:
             raise _BadRequest(f"pre {pre.shape} != post {post.shape}")
         if self.tiled:
             with self._tiled_lock:
-                out = self._tiled.predict_scene(pre, post)
-        else:
-            if self.in_hw and pre.shape[:2] != self.in_hw:
-                raise _BadRequest(
-                    f"image is {pre.shape[:2]}, model expects {self.in_hw} "
-                    "(start the server with --tiled for native-size scenes)"
-                )
-            out = self._batcher.submit(pre, post)
-        return masks_to_payload(self.task, out)
+                return self._tiled.predict_scene(pre, post)
+        if self.in_hw and pre.shape[:2] != self.in_hw:
+            raise _BadRequest(
+                f"image is {pre.shape[:2]}, model expects {self.in_hw} "
+                "(start the server with --tiled for native-size scenes)"
+            )
+        return self._batcher.submit(pre, post)
+
+    def handle(self, body: dict) -> Dict[str, str]:
+        try:
+            pre = self._norm(decode_image(body["pre"], to_rgb=self.to_rgb))
+            post = self._norm(decode_image(body["post"], to_rgb=self.to_rgb))
+        except (KeyError, ValueError, TypeError) as e:
+            raise _BadRequest(f"bad pre/post image: {e}") from e
+        return masks_to_payload(self.task, self._predict_maps(pre, post))
+
+    def handle_raw(self, raw: bytes, headers) -> Dict[str, np.ndarray]:
+        """Raw-wire request body -> per-task uint8 arrays (or
+        ``{"caption": str}`` for cc). The body is ``2*H*W*3`` uint8 bytes,
+        pre then post, HWC, ALREADY in the task's channel order (RGB except
+        BDA) — no codec, no color convenience; see the module docstring."""
+        try:
+            h = int(headers.get("X-Height", ""))
+            w = int(headers.get("X-Width", ""))
+        except ValueError as e:
+            raise _BadRequest(
+                "raw requests need integer X-Height/X-Width headers"
+            ) from e
+        if h <= 0 or w <= 0:
+            raise _BadRequest(f"bad raw dims {h}x{w}")
+        if len(raw) != 2 * h * w * 3:
+            raise _BadRequest(
+                f"raw body is {len(raw)} bytes, expected 2*{h}*{w}*3 = "
+                f"{2 * h * w * 3} (pre then post, uint8 HWC)"
+            )
+        pair = np.frombuffer(raw, np.uint8).reshape(2, h, w, 3)
+        out = self._predict_maps(self._norm(pair[0]), self._norm(pair[1]))
+        if self.task == "cc":
+            return {"caption": str(out["caption"])}
+        return masks_to_arrays(self.task, out)
 
     def health(self) -> dict:
         return {
@@ -361,6 +411,20 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
             self.end_headers()
             self.wfile.write(data)
 
+        def _reply_raw(self, arrays: Dict[str, np.ndarray]):
+            # One concatenated uint8 body; X-Parts names each segment in
+            # order: "name:height:width,..." (all parts are 2-D uint8).
+            parts = ",".join(
+                f"{k}:{v.shape[0]}:{v.shape[1]}" for k, v in arrays.items()
+            )
+            data = b"".join(v.tobytes() for v in arrays.values())
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Parts", parts)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
                 self._reply(200, service.health())
@@ -382,6 +446,22 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
                         f"body {length} bytes exceeds the {MAX_BODY_BYTES} "
                         "limit (tile large scenes client-side, or raise "
                         "serving.MAX_BODY_BYTES)")})
+                    return
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype.strip() == "application/octet-stream":
+                    out = service.handle_raw(self.rfile.read(length), self.headers)
+                    accept = self.headers.get("Accept", "")
+                    if ("application/octet-stream" in accept
+                            and "caption" not in out):
+                        ok = True
+                        self._reply_raw(out)
+                    elif "caption" in out:
+                        ok = True
+                        self._reply(200, out)
+                    else:
+                        payload = {k: encode_mask(v) for k, v in out.items()}
+                        ok = True
+                        self._reply(200, payload)
                     return
                 body = json.loads(self.rfile.read(length))
                 payload = service.handle(body)

@@ -222,6 +222,104 @@ def test_predict_client_roundtrip(bcd_predictor, tmp_path):
         service.close()
 
 
+def _post_raw(url, body, headers, expect_json=False):
+    req = urllib.request.Request(
+        url + "/v1/predict", body,
+        headers={"Content-Type": "application/octet-stream", **headers},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            ctype = r.headers.get("Content-Type", "")
+            if ctype.startswith("application/json"):
+                return r.status, json.loads(r.read()), None
+            return r.status, r.read(), r.headers["X-Parts"]
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read()), None
+
+
+def test_raw_wire_matches_json_path(bcd_predictor):
+    """The codec-free octet-stream protocol returns byte-identical masks to
+    the base64-PNG JSON path, in both response flavors (raw Accept and
+    default JSON)."""
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        rng = np.random.RandomState(11)
+        pre = rng.randint(0, 255, (HW, HW, 3), np.uint8)   # disk/BGR order
+        post = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        code, body = _post(url, {"pre": _png64(pre), "post": _png64(post)})
+        assert code == 200
+        json_mask = cv2.imdecode(
+            np.frombuffer(base64.b64decode(body["change"]), np.uint8),
+            cv2.IMREAD_UNCHANGED,
+        )
+
+        # Raw body carries the model's channel order (RGB for bcd).
+        raw = (np.ascontiguousarray(pre[:, :, ::-1]).tobytes()
+               + np.ascontiguousarray(post[:, :, ::-1]).tobytes())
+        hdr = {"X-Height": str(HW), "X-Width": str(HW)}
+
+        code, data, parts = _post_raw(
+            url, raw, {**hdr, "Accept": "application/octet-stream"})
+        assert code == 200 and parts == f"change:{HW}:{HW}"
+        raw_mask = np.frombuffer(data, np.uint8).reshape(HW, HW)
+        np.testing.assert_array_equal(raw_mask, json_mask)
+
+        # Raw request, JSON response (no Accept): same PNG payload.
+        code, body2, _ = _post_raw(url, raw, hdr)
+        assert code == 200
+        png_mask = cv2.imdecode(
+            np.frombuffer(base64.b64decode(body2["change"]), np.uint8),
+            cv2.IMREAD_UNCHANGED,
+        )
+        np.testing.assert_array_equal(png_mask, json_mask)
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
+def test_raw_wire_bad_requests(bcd_predictor):
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=1)
+    httpd, url = _start(service)
+    try:
+        good = bytes(2 * HW * HW * 3)
+        hdr = {"X-Height": str(HW), "X-Width": str(HW)}
+        code, body, _ = _post_raw(url, good[:-1], hdr)
+        assert code == 400 and "expected 2*" in body["error"]
+        code, body, _ = _post_raw(url, good, {"X-Height": str(HW)})
+        assert code == 400 and "X-Height/X-Width" in body["error"]
+        code, body, _ = _post_raw(url, good, {"X-Height": "-1", "X-Width": str(HW)})
+        assert code == 400 and "bad raw dims" in body["error"]
+        # Wrong size for the model (right arithmetic) -> shape error.
+        bad_hw = {"X-Height": str(HW * 2), "X-Width": str(HW)}
+        code, body, _ = _post_raw(url, bytes(2 * 2 * HW * HW * 3), bad_hw)
+        assert code == 400 and "model expects" in body["error"]
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
+def test_predict_client_raw_matches_json(bcd_predictor):
+    from change3d_tpu.client import PredictClient
+
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        client = PredictClient(url)
+        rng = np.random.RandomState(12)
+        pre = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        post = rng.randint(0, 255, (HW, HW, 3), np.uint8)
+        np.testing.assert_array_equal(
+            client.predict_raw(pre, post)["change"],
+            client.predict(pre, post)["change"],
+        )
+        with pytest.raises(ValueError, match="HWC uint8"):
+            client.predict_raw(pre[..., :2], post[..., :2])
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     """A Predictor-like source with a pinned batch must match --batch_size
     up front, not 500 on every request."""
@@ -431,6 +529,8 @@ def test_predict_client_caption_passthrough():
         img = np.random.RandomState(8).randint(0, 255, (HW, HW, 3), np.uint8)
         out = client.predict(img, img)
         assert isinstance(out["caption"], str)
+        # Raw wire on a cc server replies JSON (captions are text).
+        assert client.predict_raw(img, img)["caption"] == out["caption"]
     finally:
         httpd.shutdown()
         service.close()
@@ -454,6 +554,19 @@ def test_scd_payload_fields(bcd_predictor):
         code, body = _post(url, {"pre": img, "post": img})
         assert code == 200
         assert set(body) == {"pre", "post", "change"}
+
+        # Raw wire: multi-part response carries the same three masks.
+        from change3d_tpu.client import PredictClient
+
+        raw_img = np.random.RandomState(3).randint(0, 255, (HW, HW, 3), np.uint8)
+        out = PredictClient(url).predict_raw(raw_img, raw_img)
+        assert set(out) == {"pre", "post", "change"}
+        for key in ("pre", "post", "change"):
+            expect = cv2.imdecode(
+                np.frombuffer(base64.b64decode(body[key]), np.uint8),
+                cv2.IMREAD_UNCHANGED,
+            )
+            np.testing.assert_array_equal(out[key], expect)
     finally:
         httpd.shutdown()
         service.close()
