@@ -201,6 +201,14 @@ class Predictor:
 
     def _make_forward_u8(self):
         model, dtype = self.model, self.compute_dtype
+        # Binary masks leave the device BITPACKED (uint8, 8 pixels/byte,
+        # np.unpackbits big-endian order) when the width allows: the
+        # device->host link is the serving bottleneck when the chip sits
+        # behind a tunnel (measured 0.4-3 MB/s down vs ~1 GB/s up), and a
+        # [B,H,W] bool costs 8x the bytes of its packed form. Class-id maps
+        # are already 1 byte/pixel.
+        pack = model.in_width % 8 == 0
+        pows = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint32)
 
         def forward(variables, pre, post):
             # Detection eval normalization ((x/255 - .5)/.5 == x/127.5 - 1,
@@ -212,7 +220,12 @@ class Predictor:
             hard = {}
             for key, val in out.items():
                 if key in ("change", "loc"):
-                    hard[key] = val[..., 0] > 0.5
+                    mask = val[..., 0] > 0.5
+                    if pack:
+                        b, h, w = mask.shape
+                        grouped = mask.reshape(b, h, w // 8, 8).astype(jnp.uint32)
+                        mask = (grouped * pows).sum(-1).astype(jnp.uint8)
+                    hard[key] = mask
                 elif key in ("pre", "post", "cls"):
                     hard[key] = jnp.argmax(val, axis=-1).astype(jnp.uint8)
                 else:
@@ -221,24 +234,43 @@ class Predictor:
 
         return forward
 
+    def predict_u8_async(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, jax.Array]:
+        """Launch the u8 forward and return DEVICE arrays without blocking
+        (JAX dispatch is async): callers overlap the device->host fetch of
+        one batch with the compute of the next (the serving batcher's
+        pipelined mode). Pass the result to :meth:`finalize_u8`."""
+        if self._forward_u8 is None:
+            self._forward_u8 = self._jit(self._make_forward_u8())
+        return self._forward_u8(
+            self.variables, self._put_batch(pre), self._put_batch(post)
+        )
+
+    def finalize_u8(self, out: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
+        """Block on a :meth:`predict_u8_async` result, fetch it, and unpack
+        the bitpacked binary masks back to [B,H,W] bool."""
+        w = self.model.in_width
+        fetched = {}
+        for key, val in out.items():
+            arr = np.asarray(val)
+            if key in ("change", "loc") and w % 8 == 0:
+                arr = np.unpackbits(arr, axis=-1).astype(bool)[..., :w]
+            fetched[key] = arr
+        return fetched
+
     def predict_u8(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         """Transfer-lean serving forward: raw [B,H,W,3] uint8 in, hardened
         masks out (same decisions as :meth:`predict` on eval-normalized
         floats — sigmoid/softmax are monotone, so thresholding/argmaxing on
         device is exact, not approximate).
 
-        Both the eval normalization and the hardening run inside one jitted
-        computation, so host<->device traffic is uint8 pixels up and
-        bool/uint8 masks down — ~4x less up and 4-30x less down than the
-        float path. That is the difference between compute-bound and
-        link-bound serving when the chip sits behind a slow tunnel
-        (tests/manual_serve_bench.py measures the served effect)."""
-        if self._forward_u8 is None:
-            self._forward_u8 = self._jit(self._make_forward_u8())
-        out = self._forward_u8(
-            self.variables, self._put_batch(pre), self._put_batch(post)
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        The eval normalization, the hardening, and the binary-mask
+        bitpacking run inside one jitted computation, so host<->device
+        traffic is uint8 pixels up and packed-bit/uint8 masks down — ~4x
+        less up and 4-240x less down than the float path. That is the
+        difference between compute-bound and link-bound serving when the
+        chip sits behind a slow tunnel (tests/manual_serve_bench.py
+        measures the served effect)."""
+        return self.finalize_u8(self.predict_u8_async(pre, post))
 
 
 class ArtifactPredictor:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import base64
 import json
+import queue
 import signal
 import threading
 import time
@@ -170,10 +171,20 @@ class _Batcher:
     request, then drains up to ``batch_size`` (waiting at most ``max_delay``
     seconds for stragglers), pads to exactly ``batch_size`` by repeating the
     last pair, and runs ``predict_batch`` once for the group.
+
+    **Pipelined mode** (``predict_async``/``finalize`` given): the
+    dispatcher only LAUNCHES each batch (JAX dispatch is asynchronous) and
+    hands the device handles to a completer thread that blocks on the
+    device->host fetch and distributes results. The fetch of batch N then
+    overlaps the transfer+compute of batch N+1 — decisive when the chip is
+    behind a slow link, where the result download otherwise serializes
+    with compute. A bounded in-flight queue (2 batches) provides
+    backpressure so device memory stays fixed.
     """
 
     def __init__(self, predict_batch, batch_size: int, max_delay: float,
-                 stats: Optional[_Stats] = None):
+                 stats: Optional[_Stats] = None,
+                 predict_async=None, finalize=None):
         self._predict_batch = predict_batch
         self.batch_size = batch_size
         self.max_delay = max_delay
@@ -181,6 +192,14 @@ class _Batcher:
         self._lock = threading.Condition()
         self._pending: List[dict] = []
         self._closed = False
+        self._predict_async = predict_async if finalize is not None else None
+        self._finalize = finalize
+        self._inflight: Optional[queue.Queue] = None
+        self._completer: Optional[threading.Thread] = None
+        if self._predict_async is not None:
+            self._inflight = queue.Queue(maxsize=2)
+            self._completer = threading.Thread(target=self._complete, daemon=True)
+            self._completer.start()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -203,6 +222,8 @@ class _Batcher:
             self._closed = True
             self._lock.notify()
         self._thread.join(timeout=5)
+        if self._completer is not None:
+            self._completer.join(timeout=5)
 
     def _take_batch(self) -> List[dict]:
         with self._lock:
@@ -222,30 +243,64 @@ class _Batcher:
             )
             return batch
 
+    @staticmethod
+    def _fail(batch: List[dict], e: Exception):
+        for item in batch:
+            item["error"] = e
+            item["event"].set()
+
+    @classmethod
+    def _distribute(cls, batch: List[dict], out: Dict[str, np.ndarray]):
+        try:
+            results = [{k: v[i] for k, v in out.items()} for i in range(len(batch))]
+        except Exception as e:  # noqa: BLE001 — never leave a waiter hanging
+            cls._fail(batch, e)
+            return
+        for item, res in zip(batch, results):
+            item["result"] = res
+            item["event"].set()
+
     def _run(self):
         while True:
             batch = self._take_batch()
             if not batch:
+                if self._inflight is not None:
+                    self._inflight.put(None)
                 return
+            n = len(batch)
+            if self._stats:
+                self._stats.record_batch(n)
             try:
-                n = len(batch)
-                if self._stats:
-                    self._stats.record_batch(n)
                 pre = np.stack([b["pre"] for b in batch])
                 post = np.stack([b["post"] for b in batch])
                 pad = self.batch_size - n
                 if pad:
                     pre = np.concatenate([pre, np.repeat(pre[-1:], pad, 0)])
                     post = np.concatenate([post, np.repeat(post[-1:], pad, 0)])
+                if self._predict_async is not None:
+                    # Launch only; the completer fetches. Blocks (bounded
+                    # queue) when 2 batches are already in flight.
+                    handles = self._predict_async(pre, post)
+                    self._inflight.put((batch, handles))
+                    continue
                 out = self._predict_batch(pre, post)
-                for i, item in enumerate(batch):
-                    item["result"] = {k: v[i] for k, v in out.items()}
             except Exception as e:  # noqa: BLE001 — failures propagate per request
-                for item in batch:
-                    item["error"] = e
-            finally:
-                for item in batch:
-                    item["event"].set()
+                self._fail(batch, e)
+                continue
+            self._distribute(batch, out)
+
+    def _complete(self):
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            batch, handles = entry
+            try:
+                out = self._finalize(handles)
+            except Exception as e:  # noqa: BLE001 — failures propagate per request
+                self._fail(batch, e)
+                continue
+            self._distribute(batch, out)
 
 
 class PredictService:
@@ -310,8 +365,16 @@ class PredictService:
             else:
                 self._u8 = hasattr(predictor, "predict_u8")
                 predict_batch = predictor.predict_u8 if self._u8 else predictor.predict
+            # Detection u8 predictors expose the async launch/fetch split;
+            # the batcher then pipelines (fetch of batch N overlaps compute
+            # of N+1). CC's token outputs are tiny — sync is fine.
+            pa = getattr(predictor, "predict_u8_async", None) if (
+                self._u8 and task != "cc") else None
+            fin = getattr(predictor, "finalize_u8", None)
             self._batcher = _Batcher(
-                predict_batch, batch_size, max_delay_ms / 1000.0, stats=self.stats
+                predict_batch, batch_size, max_delay_ms / 1000.0,
+                stats=self.stats,
+                predict_async=pa, finalize=fin if pa is not None else None,
             )
         if warmup and not tiled and self.in_hw:
             # One dummy full batch at startup so the first real client pays

@@ -88,6 +88,35 @@ def test_predict_u8_matches_float_path():
     np.testing.assert_array_equal(emb.predict_u8(a8, b8)["change"], base.predict_u8(a8, b8)["change"])
 
 
+def test_predict_u8_async_matches_blocking():
+    """The async launch/fetch split (the pipelined batcher's path, with
+    on-device bitpacked binary masks) equals the blocking predict path.
+    Any valid input width is divisible by 8 (the stride-8 feature pyramid
+    requires it), so the bitpack is always active; the W%8 guard in
+    _make_forward_u8 is defensive only."""
+    import jax.numpy as jnp
+
+    from change3d_tpu.data.transforms import eval_normalize
+
+    rng = np.random.RandomState(3)
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W,
+                     backbone_cfg=TINY_CFG)
+    pred = Predictor(model, _init(model), compute_dtype=jnp.float32)
+    a8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    b8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    handles = pred.predict_u8_async(a8, b8)
+    # The wire form really is packed: W/8 bytes per row.
+    assert handles["change"].shape == (2, H, W // 8)
+    via_async = pred.finalize_u8(handles)
+    host = pred.predict(
+        np.stack([eval_normalize(x) for x in a8]),
+        np.stack([eval_normalize(x) for x in b8]),
+    )
+    assert via_async["change"].dtype == bool
+    assert via_async["change"].shape == (2, H, W)
+    np.testing.assert_array_equal(via_async["change"], host["change"])
+
+
 def test_sharded_predictor_matches_single_device():
     """shard=True spreads the batch over the 8-virtual-device mesh (params
     replicated, batch sharded — the engine's GSPMD layout) with per-sample
