@@ -235,8 +235,12 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--in_height", type=int, default=256)
     srv.add_argument("--in_width", type=int, default=256)
     srv.add_argument("--batch_size", type=int, default=16,
-                     help="device batch: requests are gathered and padded "
-                     "to exactly this (one compiled shape)")
+                     help="max device batch: requests are gathered up to "
+                     "this and padded to the smallest compiled bucket")
+    srv.add_argument("--buckets", default=None,
+                     help="comma-separated batching bucket sizes (largest "
+                     "must equal --batch_size); default: a 1/4,1/2,1 ladder "
+                     "for detection, single-bucket for cc/artifacts")
     srv.add_argument("--max_delay_ms", type=float, default=10.0,
                      help="max wait for batch stragglers after the first "
                      "request arrives")
@@ -693,6 +697,8 @@ def run_serve(args):
         batch_size=args.batch_size, max_delay_ms=args.max_delay_ms,
         tiled=args.tiled, tile_overlap=args.tile_overlap,
         warmup=not args.no_warmup,
+        buckets=(tuple(int(b) for b in args.buckets.split(","))
+                 if args.buckets else None),
     )
     serve_forever(service, args.host, args.port)
 

@@ -127,6 +127,9 @@ class Predictor:
         self.model = model
         self.compute_dtype = compute_dtype
         self._put_batch = jnp.asarray
+        # Every dispatched batch shape must divide over the shard mesh;
+        # the serving layer filters its batching buckets by this.
+        self.batch_divisor = len(jax.devices()) if shard else 1
         if shard:
             from change3d_tpu.parallel.mesh import (
                 batch_sharding,

@@ -180,13 +180,25 @@ class _Batcher:
     behind a slow link, where the result download otherwise serializes
     with compute. A bounded in-flight queue (2 batches) provides
     backpressure so device memory stays fixed.
+
+    **Bucketed batching** (``buckets``): a partial group pads only to the
+    smallest compiled bucket that fits, not to ``batch_size`` — under
+    partial load the host->device transfer and compute scale with actual
+    traffic instead of paying the full-batch padding tax (XLA compiles one
+    executable per bucket; the service warms them all up at startup).
     """
 
     def __init__(self, predict_batch, batch_size: int, max_delay: float,
                  stats: Optional[_Stats] = None,
-                 predict_async=None, finalize=None):
+                 predict_async=None, finalize=None,
+                 buckets: Optional[Tuple[int, ...]] = None):
         self._predict_batch = predict_batch
         self.batch_size = batch_size
+        self.buckets = tuple(sorted(buckets or (batch_size,)))
+        if self.buckets[-1] != batch_size:
+            raise ValueError(
+                f"largest bucket {self.buckets[-1]} must equal batch_size "
+                f"{batch_size}")
         self.max_delay = max_delay
         self._stats = stats
         self._lock = threading.Condition()
@@ -273,7 +285,8 @@ class _Batcher:
             try:
                 pre = np.stack([b["pre"] for b in batch])
                 post = np.stack([b["post"] for b in batch])
-                pad = self.batch_size - n
+                bucket = min(b for b in self.buckets if b >= n)
+                pad = bucket - n
                 if pad:
                     pre = np.concatenate([pre, np.repeat(pre[-1:], pad, 0)])
                     post = np.concatenate([post, np.repeat(post[-1:], pad, 0)])
@@ -316,6 +329,7 @@ class PredictService:
         tiled: bool = False,
         tile_overlap: int = 32,
         warmup: bool = False,
+        buckets=None,
     ):
         self.task = task
         self.to_rgb = task != "bda"  # BDA trains on raw-cv2 BGR
@@ -328,6 +342,29 @@ class PredictService:
                 f"artifact was exported with a pinned batch of {fixed}; "
                 f"serve it with --batch_size {fixed} (got {batch_size})"
             )
+        # Bucketed batching: partial groups pad to the smallest compiled
+        # shape that fits instead of the full batch — transfer and compute
+        # then track actual load. Detection live predictors default to a
+        # {1/4, 1/2, 1}x ladder; pinned-batch artifacts and cc (whose beam
+        # decode is expensive to compile per shape) stay single-bucket.
+        if buckets is None:
+            if fixed is not None or task == "cc" or tiled:
+                buckets = (batch_size,)
+            else:
+                buckets = tuple(sorted(
+                    {max(1, batch_size // 4), max(1, batch_size // 2),
+                     batch_size}))
+        else:
+            buckets = tuple(sorted(set(int(b) for b in buckets)))
+            if not buckets or buckets[0] < 1 or buckets[-1] != batch_size:
+                raise ValueError(
+                    f"buckets {buckets} must be positive and include "
+                    f"batch_size {batch_size} as the largest")
+        # Sharded predictors need every dispatched shape divisible by the
+        # device count.
+        divisor = getattr(predictor, "batch_divisor", 1)
+        buckets = tuple(b for b in buckets if b % divisor == 0) or (batch_size,)
+        self.buckets = buckets
         self.in_hw: Optional[Tuple[int, int]] = (
             (predictor.model.in_height, predictor.model.in_width)
             if getattr(predictor, "model", None) is not None
@@ -371,16 +408,23 @@ class PredictService:
             pa = getattr(predictor, "predict_u8_async", None) if (
                 self._u8 and task != "cc") else None
             fin = getattr(predictor, "finalize_u8", None)
+            self._predict_batch = predict_batch
             self._batcher = _Batcher(
                 predict_batch, batch_size, max_delay_ms / 1000.0,
                 stats=self.stats,
                 predict_async=pa, finalize=fin if pa is not None else None,
+                buckets=self.buckets,
             )
         if warmup and not tiled and self.in_hw:
-            # One dummy full batch at startup so the first real client pays
-            # serving latency, not the cold XLA compile (minutes on a cold
-            # cache). Runs through the normal batcher/dispatch path.
-            z = np.zeros(self.in_hw + (3,), np.uint8 if self._u8 else np.float32)
+            # Compile every bucket's executable at startup so the first
+            # real client pays serving latency, not a cold XLA compile
+            # (minutes on a cold cache), then run one request through the
+            # normal batcher/dispatch path.
+            dt = np.uint8 if self._u8 else np.float32
+            for b in self.buckets:
+                zb = np.zeros((b,) + self.in_hw + (3,), dt)
+                self._predict_batch(zb, zb)
+            z = np.zeros(self.in_hw + (3,), dt)
             self._batcher.submit(z, z)
             self.stats.reset()  # don't count the warmup in /metrics
 
@@ -443,6 +487,7 @@ class PredictService:
             "status": "ok",
             "task": self.task,
             "batch_size": self.batch_size,
+            "buckets": list(self.buckets),
             "tiled": self.tiled,
             "input_hw": list(self.in_hw) if self.in_hw else None,
         }
@@ -465,6 +510,11 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
         # would hang the SIGTERM drain, which joins handler threads. Compute
         # waits (batcher.submit) are not socket ops and are unaffected.
         timeout = 120
+        # Keep-alive: clients reuse one connection for many requests
+        # (Content-Length is set on every reply). Without it each request
+        # pays TCP setup + a fresh handler thread — measurable against the
+        # batcher's fill rate on small hosts.
+        protocol_version = "HTTP/1.1"
 
         def _reply(self, code: int, payload: dict):
             data = json.dumps(payload).encode()
@@ -505,6 +555,10 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > MAX_BODY_BYTES:
+                    # The body stays unread on the socket: drop the
+                    # connection instead of letting keep-alive misparse it
+                    # as the next request.
+                    self.close_connection = True
                     self._reply(413, {"error": (
                         f"body {length} bytes exceeds the {MAX_BODY_BYTES} "
                         "limit (tile large scenes client-side, or raise "
@@ -535,6 +589,9 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
             except json.JSONDecodeError as e:
                 self._reply(400, {"error": f"bad JSON: {e}"})
             except Exception as e:  # noqa: BLE001 — 500 with reason
+                # Socket state is unknown after an unexpected failure — do
+                # not let keep-alive reuse this connection.
+                self.close_connection = True
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 service.stats.record_request(time.monotonic() - t0, ok)

@@ -72,6 +72,50 @@ def test_batcher_pads_and_batches():
     assert all(c == 4 for c in calls)
 
 
+def test_batcher_buckets_pad_to_smallest_fit():
+    """A partial group pads to the smallest compiled bucket, not the max
+    batch — the transfer/compute tax tracks actual load."""
+    seen = []
+
+    def predict_batch(pre, post):
+        seen.append(pre.shape[0])
+        return {"m": pre.sum(axis=(1, 2, 3))}
+
+    b = _Batcher(predict_batch, batch_size=8, max_delay=0.05, buckets=(2, 4, 8))
+    xs = [np.full((2, 2, 3), i, np.float32) for i in range(3)]
+    results = [None] * 3
+    threads = [
+        threading.Thread(target=lambda i=i: results.__setitem__(
+            i, b.submit(xs[i], xs[i])))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    for i in range(3):
+        np.testing.assert_allclose(results[i]["m"], xs[i].sum())
+    # 3 concurrent requests -> one bucket-4 dispatch (or a 2+2/2+1 split
+    # under scheduling jitter) — never a full 8.
+    assert seen and all(s in (2, 4) for s in seen)
+
+    with pytest.raises(ValueError, match="must equal batch_size"):
+        _Batcher(predict_batch, batch_size=8, max_delay=0.01, buckets=(2, 4))
+
+
+def test_service_bucket_defaults(bcd_predictor):
+    svc = PredictService("bcd", bcd_predictor, batch_size=16, max_delay_ms=1)
+    assert svc.buckets == (4, 8, 16)
+    svc.close()
+    svc = PredictService("bcd", bcd_predictor, batch_size=16, max_delay_ms=1,
+                         buckets=(8, 16))
+    assert svc.buckets == (8, 16)
+    svc.close()
+    with pytest.raises(ValueError, match="include batch_size"):
+        PredictService("bcd", bcd_predictor, batch_size=16, buckets=(4, 8))
+
+
 def test_batcher_propagates_errors_and_rejects_after_close():
     def predict_batch(pre, post):
         raise RuntimeError("device on fire")
