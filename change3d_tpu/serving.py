@@ -218,16 +218,28 @@ class _Batcher:
     def submit(self, pre: np.ndarray, post: np.ndarray) -> Dict[str, np.ndarray]:
         """Blocks until the request's batch has been served; returns this
         request's hardened maps (or raises the batch's failure)."""
-        item = {"pre": pre, "post": post, "event": threading.Event()}
+        return self.submit_many([(pre, post)])[0]
+
+    def submit_many(self, pairs) -> List[Dict[str, np.ndarray]]:
+        """Enqueue many (pre, post) pairs at once and block until all are
+        served. One handler thread carrying N pairs costs N events, not N
+        HTTP round trips — the bulk wire's device-side half. Pairs from
+        concurrent bulk (and single) submitters coalesce into shared
+        batches exactly like single submissions."""
+        items = [
+            {"pre": p, "post": q, "event": threading.Event()} for p, q in pairs
+        ]
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is shut down")
-            self._pending.append(item)
+            self._pending.extend(items)
             self._lock.notify()
-        item["event"].wait()
-        if "error" in item:
-            raise item["error"]
-        return item["result"]
+        for item in items:
+            item["event"].wait()
+        for item in items:
+            if "error" in item:
+                raise item["error"]
+        return [item["result"] for item in items]
 
     def close(self):
         with self._lock:
@@ -457,30 +469,62 @@ class PredictService:
             raise _BadRequest(f"bad pre/post image: {e}") from e
         return masks_to_payload(self.task, self._predict_maps(pre, post))
 
-    def handle_raw(self, raw: bytes, headers) -> Dict[str, np.ndarray]:
+    def handle_raw(self, raw: bytes, headers):
         """Raw-wire request body -> per-task uint8 arrays (or
         ``{"caption": str}`` for cc). The body is ``2*H*W*3`` uint8 bytes,
         pre then post, HWC, ALREADY in the task's channel order (RGB except
-        BDA) — no codec, no color convenience; see the module docstring."""
+        BDA) — no codec, no color convenience; see the module docstring.
+
+        Bulk mode (``X-Count: N``): the body carries N pairs back to back
+        (pair 0 pre, pair 0 post, pair 1 pre, ...) and the response arrays
+        gain a leading N axis (cc returns ``{"caption": [str, ...]}``).
+        One request then pays one HTTP parse + one handler thread for N
+        samples — on few-core serving hosts the per-request host CPU, not
+        the device, is the throughput ceiling (BENCH_SERVE.json), and bulk
+        is the production answer for offline/bulk scoring."""
         try:
             h = int(headers.get("X-Height", ""))
             w = int(headers.get("X-Width", ""))
+            n = int(headers.get("X-Count", "1"))
         except ValueError as e:
             raise _BadRequest(
-                "raw requests need integer X-Height/X-Width headers"
+                "raw requests need integer X-Height/X-Width (and optional "
+                "X-Count) headers"
             ) from e
-        if h <= 0 or w <= 0:
-            raise _BadRequest(f"bad raw dims {h}x{w}")
-        if len(raw) != 2 * h * w * 3:
+        if h <= 0 or w <= 0 or n <= 0:
+            raise _BadRequest(f"bad raw dims {n}x{h}x{w}")
+        if len(raw) != n * 2 * h * w * 3:
+            prefix = f"{n}*" if "X-Count" in headers else ""
             raise _BadRequest(
-                f"raw body is {len(raw)} bytes, expected 2*{h}*{w}*3 = "
-                f"{2 * h * w * 3} (pre then post, uint8 HWC)"
+                f"raw body is {len(raw)} bytes, expected {prefix}2*{h}*{w}*3 "
+                f"= {n * 2 * h * w * 3} (per pair: pre then post, uint8 HWC)"
             )
-        pair = np.frombuffer(raw, np.uint8).reshape(2, h, w, 3)
-        out = self._predict_maps(self._norm(pair[0]), self._norm(pair[1]))
+        bulk = "X-Count" in headers
+        if bulk and self.tiled:
+            raise _BadRequest(
+                "bulk (X-Count) is for the batched endpoint; tiled servers "
+                "take one scene per request"
+            )
+        pairs = np.frombuffer(raw, np.uint8).reshape(n, 2, h, w, 3)
+        if not bulk:
+            out = self._predict_maps(self._norm(pairs[0, 0]),
+                                     self._norm(pairs[0, 1]))
+            if self.task == "cc":
+                return {"caption": str(out["caption"])}
+            return masks_to_arrays(self.task, out)
+        if self.in_hw and (h, w) != self.in_hw:
+            raise _BadRequest(
+                f"images are {(h, w)}, model expects {self.in_hw}")
+        outs = self._batcher.submit_many(
+            (self._norm(pairs[i, 0]), self._norm(pairs[i, 1]))
+            for i in range(n)
+        )
         if self.task == "cc":
-            return {"caption": str(out["caption"])}
-        return masks_to_arrays(self.task, out)
+            return {"caption": [str(o["caption"]) for o in outs]}
+        per_pair = [masks_to_arrays(self.task, o) for o in outs]
+        return {
+            k: np.stack([p[k] for p in per_pair]) for k in per_pair[0]
+        }
 
     def health(self) -> dict:
         return {
@@ -526,9 +570,11 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
 
         def _reply_raw(self, arrays: Dict[str, np.ndarray]):
             # One concatenated uint8 body; X-Parts names each segment in
-            # order: "name:height:width,..." (all parts are 2-D uint8).
+            # order: "name:d0:d1[:d2],..." (2-D height:width per mask, or
+            # count:height:width for bulk responses).
             parts = ",".join(
-                f"{k}:{v.shape[0]}:{v.shape[1]}" for k, v in arrays.items()
+                f"{k}:" + ":".join(str(d) for d in v.shape)
+                for k, v in arrays.items()
             )
             data = b"".join(v.tobytes() for v in arrays.values())
             self.send_response(200)
@@ -575,6 +621,12 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
                     elif "caption" in out:
                         ok = True
                         self._reply(200, out)
+                    elif any(v.ndim > 2 for v in out.values()):
+                        # Bulk masks have a leading N axis PNG can't carry.
+                        self._reply(400, {"error": (
+                            "bulk (X-Count) detection responses are raw "
+                            "only — send Accept: application/octet-stream"
+                        )})
                     else:
                         payload = {k: encode_mask(v) for k, v in out.items()}
                         ok = True

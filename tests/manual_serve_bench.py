@@ -38,7 +38,7 @@ import os
 import sys
 import threading
 import time
-import urllib.request
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,6 +61,14 @@ def main() -> int:
                     help="serve native-size scenes through TiledPredictor")
     ap.add_argument("--scene", type=int, default=1024,
                     help="scene side in px for --tiled (square)")
+    ap.add_argument("--max_delay_ms", type=float, default=100.0,
+                    help="batcher straggler wait; throughput mode wants "
+                         "enough for the client fleet to refill a batch")
+    ap.add_argument("--bulk", type=int, default=0,
+                    help="pairs per request over the raw wire (X-Count bulk "
+                         "mode; 0 = one pair per request). --requests then "
+                         "counts PAIRS. Amortizes the per-request host CPU "
+                         "that caps few-core hosts")
     ap.add_argument("--wire", choices=["json", "raw"], default="json",
                     help="json = base64-PNG JSON bodies (the compatible "
                          "default); raw = the codec-free octet-stream "
@@ -72,8 +80,12 @@ def main() -> int:
     if args.artifact and (args.shard or args.tiled):
         ap.error("--artifact serves a baked single-device program "
                  "(no --shard/--tiled)")
+    if args.bulk and (args.wire != "raw" or args.tiled):
+        ap.error("--bulk is the raw wire's X-Count mode (no --tiled)")
     if args.clients is None:
-        args.clients = 4 if args.tiled else max(args.batch, 64)
+        args.clients = (4 if args.tiled else
+                        max(1, min(8, args.requests // max(1, args.bulk)))
+                        if args.bulk else max(args.batch, 64))
 
     if args.platform:
         import jax
@@ -109,17 +121,32 @@ def main() -> int:
                               shard=args.shard)
 
     service = PredictService(
-        "bcd", predictor, batch_size=args.batch, max_delay_ms=20,
-        tiled=args.tiled,
+        "bcd", predictor, batch_size=args.batch,
+        max_delay_ms=args.max_delay_ms, tiled=args.tiled,
     )
     httpd = make_server(service, host="127.0.0.1", port=0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/predict"
+    port = httpd.server_address[1]
 
     rng = np.random.RandomState(0)
     side = args.scene if args.tiled else args.hw
     img = rng.randint(0, 255, (side, side, 3), np.uint8)
-    if args.wire == "raw":
+    if args.bulk:
+        # A rotation of distinct blocks so no two in-flight device batches
+        # are byte-identical (the relay dedupes identical dispatches).
+        bodies = [
+            rng.randint(0, 255, (args.bulk, 2, side, side, 3), np.uint8
+                        ).tobytes()
+            for _ in range(4)
+        ]
+        headers = {
+            "Content-Type": "application/octet-stream",
+            "Accept": "application/octet-stream",
+            "X-Height": str(side),
+            "X-Width": str(side),
+            "X-Count": str(args.bulk),
+        }
+    elif args.wire == "raw":
         body = img.tobytes() * 2  # pre then post (random data; order moot)
         headers = {
             "Content-Type": "application/octet-stream",
@@ -134,32 +161,55 @@ def main() -> int:
                            "post": base64.b64encode(buf.tobytes()).decode()}).encode()
         headers = {"Content-Type": "application/json"}
 
-    def call(_):
-        req = urllib.request.Request(url, body, headers=headers)
-        with urllib.request.urlopen(req, timeout=600) as r:
-            assert r.status == 200
-            r.read()
+    # Each client thread keeps ONE persistent HTTP/1.1 connection (the
+    # server speaks keep-alive) and issues its share of requests over it —
+    # per-request TCP + handler-thread churn otherwise starves the batcher
+    # on small hosts.
+    def run_clients(total):
+        import http.client
+
+        shares = [total // args.clients] * args.clients
+        for i in range(total % args.clients):
+            shares[i] += 1
+
+        def worker(wi_n):
+            wi, n = wi_n
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            try:
+                for j in range(n):
+                    b = bodies[(wi + j) % len(bodies)] if args.bulk else body
+                    conn.request("POST", "/v1/predict", b, headers)
+                    r = conn.getresponse()
+                    assert r.status == 200, r.status
+                    r.read()
+            finally:
+                conn.close()
+
+        with concurrent.futures.ThreadPoolExecutor(args.clients) as pool:
+            list(pool.map(worker, [(i, s) for i, s in enumerate(shares) if s]))
 
     # Warmup: fill one batch (one scene when tiled) so compile happens
     # outside the timed window; reset the stats window after it so the
-    # reported percentiles cover exactly the timed requests.
-    warm = 1 if args.tiled else args.batch
-    with concurrent.futures.ThreadPoolExecutor(args.clients) as pool:
-        list(pool.map(call, range(warm)))
-        service.stats.reset()
-        t0 = time.perf_counter()
-        list(pool.map(call, range(args.requests)))
-        dt = time.perf_counter() - t0
+    # reported percentiles cover exactly the timed requests. In bulk mode
+    # --requests counts pairs; each HTTP request carries --bulk of them.
+    nreq = -(-args.requests // args.bulk) if args.bulk else args.requests
+    pairs = nreq * args.bulk if args.bulk else args.requests
+    run_clients(1 if (args.tiled or args.bulk) else args.batch)
+    service.stats.reset()
+    t0 = time.perf_counter()
+    run_clients(nreq)
+    dt = time.perf_counter() - t0
 
     snap = service.stats.snapshot()
     httpd.shutdown()
     service.close()
     rec = {
-        "served_pairs_per_sec": round(args.requests / dt, 2),
-        "hw": args.hw, "batch": args.batch, "requests": args.requests,
+        "served_pairs_per_sec": round(pairs / dt, 2),
+        "hw": args.hw, "batch": args.batch, "requests": nreq,
         "clients": args.clients, "packed": args.packed,
         "quantized": args.quantized, "shard": args.shard,
         "artifact": args.artifact, "tiled": args.tiled, "wire": args.wire,
+        "bulk": args.bulk, "max_delay_ms": args.max_delay_ms,
         "latency_s": snap["latency_s"],
         "mean_batch_fill": snap["mean_batch_fill"],
         "errors_total": snap["errors_total"],

@@ -364,6 +364,46 @@ def test_predict_client_raw_matches_json(bcd_predictor):
         service.close()
 
 
+def test_raw_wire_bulk_matches_single(bcd_predictor):
+    """X-Count bulk: N pairs in one request return (N, H, W) masks
+    byte-identical to N single raw requests; malformed bulk requests 400."""
+    from change3d_tpu.client import PredictClient
+
+    service = PredictService("bcd", bcd_predictor, batch_size=2, max_delay_ms=5)
+    httpd, url = _start(service)
+    try:
+        rng = np.random.RandomState(13)
+        pres = rng.randint(0, 255, (3, HW, HW, 3), np.uint8)   # disk/BGR
+        posts = rng.randint(0, 255, (3, HW, HW, 3), np.uint8)
+
+        client = PredictClient(url)
+        singles = np.stack([
+            client.predict_raw(pres[i], posts[i])["change"] for i in range(3)
+        ])
+        bulk = client.predict_raw_many(pres, posts)
+        assert bulk["change"].shape == (3, HW, HW)
+        np.testing.assert_array_equal(bulk["change"], singles)
+
+        # Bulk detection masks can't ride the PNG JSON response: raw only.
+        body = np.ascontiguousarray(
+            np.stack([pres[..., ::-1], posts[..., ::-1]], axis=1)).tobytes()
+        hdr = {"X-Height": str(HW), "X-Width": str(HW), "X-Count": "3"}
+        code, payload, _ = _post_raw(url, body, hdr)
+        assert code == 400 and "octet-stream" in payload["error"]
+
+        # Wrong byte count for the declared X-Count.
+        code, payload, _ = _post_raw(
+            url, bytes(2 * HW * HW * 3),
+            {**hdr, "Accept": "application/octet-stream"})
+        assert code == 400 and "expected 3*2*" in payload["error"]
+
+        with pytest.raises(ValueError, match="NHWC"):
+            client.predict_raw_many(pres[0], posts[0])
+    finally:
+        httpd.shutdown()
+        service.close()
+
+
 def test_pinned_batch_artifact_rejected_at_construction(bcd_predictor):
     """A Predictor-like source with a pinned batch must match --batch_size
     up front, not 500 on every request."""
@@ -575,6 +615,10 @@ def test_predict_client_caption_passthrough():
         assert isinstance(out["caption"], str)
         # Raw wire on a cc server replies JSON (captions are text).
         assert client.predict_raw(img, img)["caption"] == out["caption"]
+        # Bulk raw on cc: one request, a list of captions back.
+        pair_stack = np.stack([img, img])
+        caps = client.predict_raw_many(pair_stack, pair_stack)
+        assert caps["caption"] == [out["caption"], out["caption"]]
     finally:
         httpd.shutdown()
         service.close()
