@@ -1,0 +1,166 @@
+"""Per-task eval/inference throughput: SCD, BDA and CC samples/sec on the
+attached chip, against each task's published baseline (BASELINE.md:
+SCD 0.018 s/sample, BDA 0.016, CC 0.007 — the reference's own headline
+efficiency table; bench.py covers BCD's 0.015).
+
+Methodology matches bench.py (see its header): ITERS forwards inside ONE
+jitted lax.scan whose carry perturbs each iteration's input with a
+runtime-valued function of the previous iteration's output — a data chain
+the relay cannot dedupe or parallelize — timed as best-of-3 value fetches.
+Production inference config per task: packed stage 1, bf16, embedded
+weights. CC runs the FULL captioning pipeline per sample (encoder forward +
+KV-cached beam decode to max_len), not just the backbone.
+
+Usage:  python bench_tasks.py [scd|bda|cc ...]     (default: all three)
+Prints one JSON line per task; committed results live in BENCH_TASKS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINES = {"scd": 1.0 / 0.018, "bda": 1.0 / 0.016, "cc": 1.0 / 0.007}
+# SCD/BDA videos carry more perception frames than BCD (T=5 / T=4 vs 3), so
+# the BCD-tuned batch 128 OOMs; the ladder below b128 lands these.
+BATCHES = {"scd": 64, "bda": 96, "cc": 32}
+ITERS = {"scd": 20, "bda": 20, "cc": 5}
+BEAM = 1  # the reference's timing convention is greedy/max-prob decoding
+
+
+def bench_detection(task_name: str, batch: int, iters: int) -> float:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from change3d_tpu.models.trainer import Change3D, Task
+    from change3d_tpu.models.x3d import x3d_l_config
+
+    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
+    task = Task.SCD if task_name == "scd" else Task.BDA
+    # Reference per-task num_class defaults (cli.py / MIGRATION.md):
+    # SCD 6, BDA 5.
+    num_classes = 6 if task_name == "scd" else 5
+    model = Change3D(task=task, num_classes=num_classes,
+                     in_height=256, in_width=256, backbone_cfg=backbone)
+    pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    post = jax.random.normal(jax.random.PRNGKey(2), (batch, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), pre, post)
+    chain_key = "change" if task_name == "scd" else "loc"
+
+    def chained(pre, post, n):
+        def body(carry, _):
+            out = model.apply(variables, carry, post, train=False)[chain_key]
+            bump = (jnp.sum(out) * 1e-12).astype(carry.dtype)
+            return carry + bump, ()
+
+        final, _ = jax.lax.scan(body, pre, None, length=n)
+        return jnp.sum(final)
+
+    run = jax.jit(chained, static_argnums=2)
+    float(run(pre, post, 2))
+    float(run(pre, post, iters))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(pre, post, iters))
+        dt = min(dt, time.perf_counter() - t0)
+    return batch * iters / dt
+
+
+def bench_cc(batch: int, iters: int) -> float:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from change3d_tpu.models.caption_decoder import (
+        MAX_CAPTION_LEN,
+        beam_search_decode,
+        make_incremental_fns,
+    )
+    from change3d_tpu.models.trainer import Change3D, Task
+    from change3d_tpu.models.x3d import x3d_l_config
+
+    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
+    model = Change3D(task=Task.CC, vocab_size=500,
+                     in_height=256, in_width=256, backbone_cfg=backbone)
+    pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    post = jax.random.normal(jax.random.PRNGKey(2), (batch, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), pre, post, captions=jnp.zeros((batch, 4), jnp.int32)
+    )
+    incremental = make_incremental_fns(model)
+
+    def apply_tokens(vs, tokens, mem):
+        return model.apply(vs, tokens, mem, method=model.decode_captions)
+
+    def pipeline(carry):
+        out = model.apply(variables, carry.astype(jnp.bfloat16),
+                          post, train=False)
+        tokens, scores = beam_search_decode(
+            apply_tokens, variables, out["memory"], beam_size=BEAM,
+            start_token=2, end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
+            incremental=incremental,
+        )
+        return tokens, scores
+
+    def chained(pre, n):
+        def body(carry, _):
+            tokens, scores = pipeline(carry)
+            # Chain on BOTH outputs so neither the decode nor the encoder
+            # can be dead-code-eliminated.
+            bump = (jnp.sum(scores) * 1e-12
+                    + jnp.sum(tokens).astype(jnp.float32) * 1e-12)
+            return carry + bump.astype(carry.dtype), ()
+
+        final, _ = jax.lax.scan(body, pre.astype(jnp.float32), None, length=n)
+        return jnp.sum(final)
+
+    run = jax.jit(chained, static_argnums=1)
+    float(run(pre, 2))
+    float(run(pre, iters))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(pre, iters))
+        dt = min(dt, time.perf_counter() - t0)
+    return batch * iters / dt
+
+
+def main() -> int:
+    from bench import probe_backend
+
+    tasks = [t for t in sys.argv[1:] if not t.isdigit()] or ["scd", "bda", "cc"]
+    err = probe_backend()
+    if err:
+        for t in tasks:
+            print(json.dumps({"metric": f"{t}_eval_samples_per_sec_256",
+                              "value": 0.0, "unit": "samples/sec",
+                              "vs_baseline": 0.0, "error": err}))
+        return 1
+
+    from change3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    for t in tasks:
+        batch, iters = BATCHES[t], ITERS[t]
+        if t == "cc":
+            rate = bench_cc(batch, iters)
+        else:
+            rate = bench_detection(t, batch, iters)
+        print(json.dumps({
+            "metric": f"{t}_eval_samples_per_sec_256",
+            "value": round(rate, 2),
+            "unit": "samples/sec",
+            "vs_baseline": round(rate / BASELINES[t], 2),
+            "batch": batch,
+            "beam": BEAM if t == "cc" else None,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
