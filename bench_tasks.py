@@ -100,10 +100,13 @@ def bench_cc(batch: int, iters: int) -> float:
     def pipeline(carry):
         out = model.apply(variables, carry.astype(jnp.bfloat16),
                           post, train=False)
+        # early_exit=False pins the worst case (all 51 steps): random weights
+        # retire beams at an unrealistic rate, so the production early-exit
+        # default would make runs incomparable across rounds.
         tokens, scores = beam_search_decode(
             apply_tokens, variables, out["memory"], beam_size=BEAM,
             start_token=2, end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
-            incremental=incremental,
+            incremental=incremental, early_exit=False,
         )
         return tokens, scores
 
@@ -134,6 +137,11 @@ def main() -> int:
     from bench import probe_backend
 
     tasks = [t for t in sys.argv[1:] if not t.isdigit()] or ["scd", "bda", "cc"]
+    # A bare integer argument overrides the pinned batch (ladder probing).
+    override = [int(t) for t in sys.argv[1:] if t.isdigit()]
+    if override:
+        for t in tasks:
+            BATCHES[t] = override[0]
     err = probe_backend()
     if err:
         for t in tasks:

@@ -41,7 +41,14 @@ incr = make_incremental_fns(dec)
 mems = [memory + 0.01 * i for i in range(1, 6)]  # all distinct from the warmup input
 
 for k in (1, 5):
-    for name, kw in (("full", {}), ("kvcache", {"incremental": incr})):
+    # early_exit=False pins the worst case (all 51 steps) so random-weight
+    # runs stay comparable across rounds; "kvcache+ee" shows the production
+    # default (early exit on all-beams-retired) on the same random weights.
+    for name, kw in (
+        ("full", {"early_exit": False}),
+        ("kvcache", {"incremental": incr, "early_exit": False}),
+        ("kvcache+ee", {"incremental": incr}),
+    ):
         fn = jax.jit(
             lambda vs, mem, kw=kw, k=k: beam_search_decode(
                 apply_tokens, vs, mem, beam_size=k,

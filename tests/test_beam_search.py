@@ -178,6 +178,62 @@ def test_incremental_beam_matches_full_beam():
         np.testing.assert_allclose(np.asarray(s_inc), np.asarray(s_full), rtol=1e-5)
 
 
+def test_early_exit_matches_full_length_scan():
+    # The while_loop early exit (all beams retired -> stop) must be
+    # bit-identical to the fixed 51-step scan, in both decode modes.
+    dec, variables, memory, apply_tokens = _setup()
+    from change3d_tpu.models.caption_decoder import make_incremental_fns
+
+    incr = make_incremental_fns(dec)
+    for k in (1, 3):
+        for inc in (None, incr):
+            t_ee, s_ee = beam_search_decode(
+                apply_tokens, variables, memory,
+                beam_size=k, start_token=START, end_token=END, pad_token=PAD,
+                max_len=L, incremental=inc, early_exit=True,
+            )
+            t_scan, s_scan = beam_search_decode(
+                apply_tokens, variables, memory,
+                beam_size=k, start_token=START, end_token=END, pad_token=PAD,
+                max_len=L, incremental=inc, early_exit=False,
+            )
+            np.testing.assert_array_equal(np.asarray(t_ee), np.asarray(t_scan))
+            np.testing.assert_array_equal(np.asarray(s_ee), np.asarray(s_scan))
+
+
+def test_early_exit_actually_stops_early():
+    # A decoder that puts all its mass on <end> retires one beam rank per
+    # step until n_live hits 0; with k=3 every beam is gone after step 2, so
+    # the while_loop body must execute far fewer than max_len-1 times. The
+    # runtime execution count is observed via jax.debug.callback (the body is
+    # traced once but the callback fires once per executed iteration).
+    calls = []
+
+    def bump(_):
+        calls.append(1)
+
+    big = 50.0
+
+    def apply_tokens(variables, tokens, mem):
+        jax.debug.callback(bump, jnp.int32(0))
+        b, l = tokens.shape
+        logits = jnp.full((b, l, V), -big)
+        return logits.at[:, :, END].set(big)
+
+    memory = jnp.zeros((2, 4, E))
+    max_len = 40
+    tokens, scores = beam_search_decode(
+        apply_tokens, {}, memory,
+        beam_size=3, start_token=START, end_token=END, pad_token=PAD,
+        max_len=max_len, early_exit=True,
+    )
+    jax.block_until_ready((tokens, scores))
+    jax.effects_barrier()
+    assert np.all(np.asarray(tokens)[:, 1] == END)
+    # step 1 retires rank 0, step 2 retires the remaining two -> 2 body runs.
+    assert len(calls) <= 4, len(calls)
+
+
 def test_wider_beam_never_scores_worse():
     _, variables, memory, apply_tokens = _setup()
     def score(k):
