@@ -13,6 +13,7 @@ Layout: {save_dir}/ckpt/{step}/... managed by CheckpointManager (latest kept),
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -28,8 +29,23 @@ class CheckpointManager:
             self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
         )
 
-    def save(self, step: int, state, *, metrics: Optional[dict] = None):
+    def save(self, step: int, state, *, metrics: Optional[dict] = None,
+             wait: bool = True):
+        """Checkpoint ``state`` at ``step``.
+
+        ``wait=False`` is the async path: orbax's AsyncCheckpointer snapshots
+        the (immutable) device arrays and writes in a background thread, so
+        the epoch save overlaps the next epoch's train steps instead of
+        stalling the device queue. Any previous in-flight save is drained
+        first (orbax requires one save at a time); callers must ``wait()``
+        before reading the checkpoint back or exiting the process."""
+        self.mgr.wait_until_finished()
         self.mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        if wait:
+            self.mgr.wait_until_finished()
+
+    def wait(self):
+        """Block until every dispatched async save has durably finished."""
         self.mgr.wait_until_finished()
 
     def restore(self, state_template) -> tuple[Any, int]:
@@ -52,6 +68,34 @@ class CheckpointManager:
     def restore_best(self, template):
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(self.best_dir, template)
+
+    # ------------------------------------------------------------------
+    # Loop-state sidecar: host-side scalars (best metric so far, preemption
+    # marker) that must survive kill→resume but don't belong in the jax
+    # state tree (adding fields there would break the pytree structure of
+    # existing checkpoints). Written atomically next to the orbax steps.
+    # The reference loses best_pred on resume (its checkpoint.pth.tar has no
+    # such field, ref: /root/reference/model/utils.py:205-232) so a resumed
+    # run can overwrite best_model.pth with a worse model; the sidecar is
+    # the fix.
+    # ------------------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.dir, "train_meta.json")
+
+    def save_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def load_meta(self) -> dict:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
 
     def restore_latest_variables(self) -> tuple[dict, int]:
         """Weights-only restore of the newest step, template-free.

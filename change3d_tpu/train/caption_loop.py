@@ -48,6 +48,7 @@ from change3d_tpu.parallel.mesh import (
     multiple_of_devices,
 )
 from change3d_tpu.train.engine import create_train_state, make_train_step
+from change3d_tpu.train.loop import PreemptionGuard
 from change3d_tpu.train.lr import shrink_schedule
 from change3d_tpu.train.optim import torch_adam
 from change3d_tpu.metrics.caption import eval_caption_scores
@@ -438,10 +439,18 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     state = jax.device_put(state, rsh)
 
     ckpt = CheckpointManager(save_path)
+    best_bleu4 = -1.0
     start_epoch = 0
+    resume_step = 0
+    skip_batches = 0
     if cfg.resume:
-        state, step = ckpt.restore(state)
-        start_epoch = step // steps_per_epoch
+        state, resume_step = ckpt.restore(state)
+        # Mid-epoch (preemption) checkpoints resume exactly: re-enter the
+        # interrupted epoch, skip the already-trained prefix of its
+        # deterministic permutation (see loop._run_detection).
+        start_epoch = resume_step // steps_per_epoch
+        skip_batches = resume_step % steps_per_epoch
+        best_bleu4 = float(ckpt.load_meta().get("best_val", -1.0))
         state = jax.device_put(state, rsh)
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
@@ -450,57 +459,89 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     # 52-step beam scan every evaluation.
     decode_fn = make_decode_fn(model, cfg.beam_size, word_map)
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    best_bleu4 = -1.0
     results: Dict[str, float] = {}
 
     tracer = WindowTracer(cfg.profile_dir)
-    for epoch in range(start_epoch, cfg.epochs):
-        train_loader.set_epoch(epoch)
-        t0 = time.time()
-        # Every step's loss/top1 is retained as a DEVICE scalar (no host
-        # sync — the queue stays full) and reduced on device at epoch end,
-        # so the logged epoch mean is the exact every-iteration mean the
-        # reference logs (ref: /root/reference/scripts/train_CC.py:152-160).
-        # Only the progress prints host-sync, every 50 iters.
-        losses, top1s = [], []
-        n_batches = len(train_loader)
-        for i, batch in enumerate(device_prefetch(train_loader, bsh)):
-            tracer.tick(i)
-            batch.pop("all_captions", None)
-            state, last_metrics = train_step(state, batch, rng)
-            losses.append(last_metrics["loss"])
-            top1s.append(last_metrics["top1"])
-            if i % 50 == 0 and i and n_batches:
-                host = jax.device_get(last_metrics)
-                eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+    host_step = resume_step  # host mirror of state.step: no device syncs
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, cfg.epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            batch_iter = iter(train_loader)
+            n_batches = len(train_loader)
+            if epoch == start_epoch and skip_batches:
                 print(
-                    f"  [epoch {epoch}] iter {i}/{n_batches} "
-                    f"loss {float(host['loss']):.4f} top1 {float(host['top1']):.2f} "
-                    f"eta {eta:.0f}s",
+                    f"[resume] epoch {epoch}: skipping {skip_batches} "
+                    f"already-trained batches (mid-epoch checkpoint)",
                     flush=True,
                 )
-        tracer.close()
-        mean_loss, mean_top1 = (
-            jax.device_get((jnp.mean(jnp.stack(losses)), jnp.mean(jnp.stack(top1s))))
-            if losses
-            else (np.nan, np.nan)
-        )
-        print(
-            f"[epoch {epoch}] loss {float(mean_loss):.4f} "
-            f"top1 {float(mean_top1):.2f} ({time.time() - t0:.1f}s)"
-        )
+                for _ in range(skip_batches):
+                    next(batch_iter)
+            # Every step's loss/top1 accumulates into ONE device scalar (no
+            # host sync — the queue stays full), so the logged epoch mean is
+            # the exact every-iteration mean the reference logs
+            # (ref: /root/reference/scripts/train_CC.py:152-160). Only the
+            # progress prints host-sync, every 50 iters.
+            loss_sum = top1_sum = None
+            n_steps = 0
+            for i, batch in enumerate(device_prefetch(batch_iter, bsh)):
+                tracer.tick(i)
+                batch.pop("all_captions", None)
+                state, last_metrics = train_step(state, batch, rng)
+                if loss_sum is None:
+                    loss_sum, top1_sum = last_metrics["loss"], last_metrics["top1"]
+                else:
+                    loss_sum = loss_sum + last_metrics["loss"]
+                    top1_sum = top1_sum + last_metrics["top1"]
+                n_steps += 1
+                host_step += 1
+                guard.tick(host_step)
+                if guard.triggered:
+                    break
+                if i % 50 == 0 and i and n_batches:
+                    host = jax.device_get(last_metrics)
+                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                    print(
+                        f"  [epoch {epoch}] iter {i}/{n_batches} "
+                        f"loss {float(host['loss']):.4f} top1 {float(host['top1']):.2f} "
+                        f"eta {eta:.0f}s",
+                        flush=True,
+                    )
+            tracer.close()
+            if guard.triggered:
+                ckpt.save(host_step, state, wait=True)
+                ckpt.save_meta({"best_val": best_bleu4, "preempted_at_step": host_step})
+                print(
+                    f"[preempt] checkpoint saved at step {host_step}; exiting "
+                    f"cleanly",
+                    flush=True,
+                )
+                results["preempted_at_step"] = host_step
+                return results
+            mean_loss, mean_top1 = (
+                (v / n_steps for v in jax.device_get((loss_sum, top1_sum)))
+                if n_steps
+                else (np.nan, np.nan)
+            )
+            print(
+                f"[epoch {epoch}] loss {float(mean_loss):.4f} "
+                f"top1 {float(mean_top1):.2f} ({time.time() - t0:.1f}s)"
+            )
 
-        scores = evaluate_captions(
-            model, state.variables, eval_loader, word_map, cfg.beam_size,
-            save_dir=save_path, decode_fn=decode_fn,
-        )
-        logger.log_epoch(epoch, scores)
-        ckpt.save(int(jax.device_get(state.step)), state, metrics={"Bleu_4": scores["Bleu_4"]})
-        if scores["Bleu_4"] >= best_bleu4:
-            best_bleu4 = scores["Bleu_4"]
-            ckpt.save_best(state.variables)
-        results = scores
+            scores = evaluate_captions(
+                model, state.variables, eval_loader, word_map, cfg.beam_size,
+                save_dir=save_path, decode_fn=decode_fn,
+            )
+            logger.log_epoch(epoch, scores)
+            # Async: the disk write overlaps the next epoch's steps.
+            ckpt.save(host_step, state, metrics={"Bleu_4": scores["Bleu_4"]}, wait=False)
+            if scores["Bleu_4"] >= best_bleu4:
+                best_bleu4 = scores["Bleu_4"]
+                ckpt.save_best(state.variables)
+            ckpt.save_meta({"best_val": best_bleu4})
+            results = scores
 
+    ckpt.wait()  # drain the last async save before reading best/ back
     # Final: reload the best weights and re-evaluate (mirrors the detection
     # loop and the reference's end-of-run test pass). Only the *restore* is
     # allowed to fail softly (no best saved on 0-epoch smoke runs); an eval

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -106,6 +108,63 @@ class RunConfig:
 
 _DATASETS = {"bcd": BCDDataset, "scd": SCDDataset, "bda": BDADataset}
 _BEST_METRIC = {"bcd": "F1", "scd": "IoU_mean", "bda": "overall_f1"}
+
+
+class PreemptionGuard:
+    """SIGTERM → finish the in-flight step, checkpoint, exit cleanly.
+
+    Preemptible TPU pools deliver SIGTERM with a grace window; the handler
+    only sets a flag, the training loop polls it after each completed step
+    and performs the (collective-safe) save itself — nothing jax-related
+    happens in signal context. The previous handler is restored on exit so
+    nested loops (e.g. tests) don't leak handlers. When not on the main
+    thread (signal.signal raises ValueError there) the guard degrades to a
+    no-op flag, keeping in-process test drivers usable.
+
+    Test hook: ``CHANGE3D_PREEMPT_AFTER_STEP=N`` raises SIGTERM in-process
+    via ``tick()`` after the Nth completed optimizer step, exercising the
+    REAL signal path at a deterministic point (the kill-mid-epoch drill in
+    tests/test_preemption.py relies on this for bit-exact comparisons).
+    """
+
+    def __init__(self):
+        self._flag = threading.Event()
+        self._prev = None
+        self._installed = False
+        self._hook_step = int(os.environ.get("CHANGE3D_PREEMPT_AFTER_STEP", "0") or 0)
+
+    def __enter__(self) -> "PreemptionGuard":
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            self._installed = True
+        except ValueError:  # not the main thread
+            pass
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+
+    def _on_signal(self, signum, frame) -> None:
+        print(
+            "[preempt] SIGTERM: finishing the in-flight step, then "
+            "checkpoint-and-exit (resume with --resume)",
+            flush=True,
+        )
+        self._flag.set()
+
+    def tick(self, global_step: int) -> None:
+        """Arm the deterministic test hook after ``global_step`` steps."""
+        if self._hook_step and global_step >= self._hook_step:
+            self._hook_step = 0
+            if self._installed:
+                signal.raise_signal(signal.SIGTERM)
+            else:
+                self._flag.set()
+
+    @property
+    def triggered(self) -> bool:
+        return self._flag.is_set()
 
 
 def build_model(cfg: RunConfig) -> Change3D:
@@ -320,17 +379,30 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
     state = jax.device_put(state, rsh)
 
     ckpt = CheckpointManager(save_path)
+    best_metric_name = _BEST_METRIC[cfg.task]
+    best_val = -1.0
     start_epoch = 0
+    resume_step = 0
+    skip_batches = 0
     if cfg.resume:
-        state, step = ckpt.restore(state)
-        start_epoch = step // max_batches
+        state, resume_step = ckpt.restore(state)
+        # Mid-epoch checkpoints (preemption saves) resume EXACTLY: re-enter
+        # the interrupted epoch and skip the batches already trained. The
+        # loader's per-epoch permutation is a pure function of (seed, epoch)
+        # so the skipped prefix is the prefix that was consumed — kill→resume
+        # is bit-exact vs an uninterrupted run (tests/test_preemption.py).
+        start_epoch = resume_step // max_batches
+        skip_batches = resume_step % max_batches
+        # best_val travels in the sidecar, not the jax state tree: without it
+        # a resumed run restarts at -inf and can overwrite best/ with a worse
+        # model (the reference has this bug — its checkpoint.pth.tar carries
+        # no best_pred, ref: /root/reference/model/utils.py:205-232).
+        best_val = float(ckpt.load_meta().get("best_val", -1.0))
         state = jax.device_put(state, rsh)
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     train_step = make_train_step(model, tx, compute_dtype=compute_dtype)
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
-    best_metric_name = _BEST_METRIC[cfg.task]
-    best_val = -1.0
     results: Dict[str, Any] = {}
 
     def evaluate(state) -> Dict[str, float]:
@@ -338,46 +410,88 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     tracer = WindowTracer(cfg.profile_dir)
-    for epoch in range(start_epoch, max_epochs):
-        train_loader.set_epoch(epoch)
-        t0 = time.time()
-        # Every step's loss is retained as a DEVICE scalar (no host sync —
-        # the queue stays full) and reduced on device at epoch end, so the
-        # logged epoch loss is the exact every-iteration mean the reference
-        # logs (ref: /root/reference/scripts/train_BCD.py:227-232). Only the
-        # progress prints host-sync, every 50 iters.
-        losses = []
-        n_batches = len(train_loader)
-        for i, batch in enumerate(device_prefetch(train_loader, bsh)):
-            tracer.tick(i)
-            state, last_metrics = train_step(state, batch, step_rng)
-            losses.append(last_metrics["loss"])
-            if i % 50 == 0 and i and n_batches:  # iteration progress + ETA
-                # (ref prints every 5 iters; 50 keeps the device queue full)
-                eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+    host_step = resume_step  # host mirror of state.step: no device syncs
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, max_epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            batch_iter = iter(train_loader)
+            n_batches = len(train_loader)
+            if epoch == start_epoch and skip_batches:
                 print(
-                    f"  [epoch {epoch}] iter {i}/{n_batches} "
-                    f"loss {float(jax.device_get(losses[-1])):.4f} eta {eta:.0f}s",
+                    f"[resume] epoch {epoch}: skipping {skip_batches} "
+                    f"already-trained batches (mid-epoch checkpoint)",
                     flush=True,
                 )
-        tracer.close()
-        mean_loss = (
-            float(jax.device_get(jnp.mean(jnp.stack(losses)))) if losses else float("nan")
-        )
-        print(f"[epoch {epoch}] train loss {mean_loss:.4f} ({time.time() - t0:.1f}s)")
+                for _ in range(skip_batches):
+                    next(batch_iter)
+            # Every step's loss accumulates into ONE device scalar (no host
+            # sync — the queue stays full), so the logged epoch loss is the
+            # exact every-iteration mean the reference logs
+            # (ref: /root/reference/scripts/train_BCD.py:227-232). Only the
+            # progress prints host-sync, every 50 iters.
+            loss_sum = None  # running device-side scalar: O(1) live buffers
+            n_steps = 0
+            for i, batch in enumerate(device_prefetch(batch_iter, bsh)):
+                tracer.tick(i)
+                state, last_metrics = train_step(state, batch, step_rng)
+                loss_sum = (
+                    last_metrics["loss"] if loss_sum is None
+                    else loss_sum + last_metrics["loss"]
+                )
+                n_steps += 1
+                host_step += 1
+                guard.tick(host_step)
+                if guard.triggered:
+                    break
+                if i % 50 == 0 and i and n_batches:  # iteration progress + ETA
+                    # (ref prints every 5 iters; 50 keeps the device queue full)
+                    eta = (time.time() - t0) / (i + 1) * (n_batches - i - 1)
+                    print(
+                        f"  [epoch {epoch}] iter {i}/{n_batches} "
+                        f"loss {float(jax.device_get(last_metrics['loss'])):.4f} "
+                        f"eta {eta:.0f}s",
+                        flush=True,
+                    )
+            tracer.close()
+            if guard.triggered:
+                # Durable (blocking) mid-epoch save of the FULL state —
+                # params, batch_stats, optimizer, step — plus the sidecar, so
+                # --resume continues from exactly this optimizer step.
+                ckpt.save(host_step, state, wait=True)
+                ckpt.save_meta({"best_val": best_val, "preempted_at_step": host_step})
+                print(
+                    f"[preempt] checkpoint saved at step {host_step}; exiting "
+                    f"cleanly",
+                    flush=True,
+                )
+                results["preempted_at_step"] = host_step
+                return results
+            mean_loss = (
+                float(jax.device_get(loss_sum)) / n_steps if n_steps else float("nan")
+            )
+            print(f"[epoch {epoch}] train loss {mean_loss:.4f} ({time.time() - t0:.1f}s)")
 
-        if epoch == 0:
-            continue  # reference protocol: skip epoch-0 validation
+            if epoch == 0:
+                continue  # reference protocol: skip epoch-0 validation
 
-        scores = evaluate(state)
-        logger.log_epoch(epoch, scores)
-        print(f"[epoch {epoch}] val {scores}")
-        ckpt.save(int(jax.device_get(state.step)), state, metrics={best_metric_name: scores[best_metric_name]})
-        if scores[best_metric_name] >= best_val:
-            best_val = scores[best_metric_name]
-            ckpt.save_best(state.variables)
-        results["last"] = scores
+            scores = evaluate(state)
+            logger.log_epoch(epoch, scores)
+            print(f"[epoch {epoch}] val {scores}")
+            # Async: the epoch checkpoint's disk write overlaps the next
+            # epoch's train steps (save() itself drains any prior in-flight
+            # write; jax arrays are immutable so the snapshot is stable).
+            ckpt.save(
+                host_step, state,
+                metrics={best_metric_name: scores[best_metric_name]}, wait=False,
+            )
+            if scores[best_metric_name] >= best_val:
+                best_val = scores[best_metric_name]
+                ckpt.save_best(state.variables)
+            ckpt.save_meta({"best_val": best_val})
+            results["last"] = scores
 
+    ckpt.wait()  # drain the last async save before reading best/ back
     # Final: reload best weights and evaluate. Only the restore fails softly
     # (no best saved on 1-epoch smoke runs); eval errors must surface.
     best_vars = None
