@@ -27,8 +27,12 @@ Alignment resolution (round 4) is the jar's beam search over
 non-conflicting match subsets — maximize covered words, then minimize
 chunks, then minimize summed |hyp_start - ref_start|, beam width 40 — not
 a greedy first-match sweep, so repeated-token segments chunk the way
-Meteor 1.5 chunks them. Remaining divergence: the function-word list is a
-built-in common-English list rather than the jar's corpus-frequency list.
+Meteor 1.5 chunks them. The function-word list defaults to a built-in
+common-English approximation; pass ``function_words=`` (a path in the
+jar's one-word-per-line function.words format) to replace it with the
+jar's own list — with the jar's three data files supplied (function
+words, WordNet synonyms, paraphrase-en.gz) there is no remaining
+scoring divergence.
 
 IMPORTANT comparability note: the reference's caption eval feeds *stringified
 token ids* to every scorer, METEOR included (ref:
@@ -75,7 +79,7 @@ _LIB_TRIED = False
 # Must match meteor_abi_version() in native/meteor.cpp. Bumped whenever
 # scoring semantics change so a stale prebuilt .so (loadable when make is
 # unavailable) can never silently diverge from the Python fallback.
-_NATIVE_ABI_VERSION = 3
+_NATIVE_ABI_VERSION = 4
 
 
 def _load_native():
@@ -120,7 +124,8 @@ def _load_native():
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ]
         # The ABI version gate above guarantees these symbols exist.
-        for fn in ("meteor_set_paraphrase_table", "meteor_set_synonym_table"):
+        for fn in ("meteor_set_paraphrase_table", "meteor_set_synonym_table",
+                   "meteor_set_function_words"):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = [ctypes.c_char_p]
         _LIB = lib
@@ -134,8 +139,31 @@ def _load_native():
 # ---------------------------------------------------------------------------
 
 
-def _word_weight(w: str) -> float:
-    return (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
+def _word_weight(w: str, fw=FUNCTION_WORDS) -> float:
+    return (1.0 - DELTA) if w in fw else DELTA
+
+
+_FUNCTION_WORD_CACHE: dict = {}
+
+
+def load_function_words(path: str) -> frozenset:
+    """Load a function-word list (memoized by path) in the jar's
+    function.words format: one word per line (blank lines ignored, words
+    lowercased; .gz accepted). The loaded list REPLACES the built-in one,
+    so supplying the jar's own file reproduces its content/function
+    weighting exactly."""
+    if path in _FUNCTION_WORD_CACHE:
+        return _FUNCTION_WORD_CACHE[path]
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    words = set()
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            words.update(w.lower() for w in line.split())
+    result = frozenset(words)
+    _FUNCTION_WORD_CACHE[path] = result
+    return result
 
 
 _PARAPHRASE_CACHE: dict = {}
@@ -273,7 +301,8 @@ def _resolve_alignment(nh: int, nr: int, cands) -> list:
     return [cands[ci] for ci in best[7]]
 
 
-def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tuple[float, ...]:
+def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None,
+              fw=FUNCTION_WORDS) -> Tuple[float, ...]:
     """Meteor 1.5 alignment. Returns (wm_h, wm_r, wlen_h, wlen_r, matches,
     chunks) sufficient statistics.
 
@@ -298,10 +327,10 @@ def _py_align(hyp: List[str], ref: List[str], table=None, syn_table=None) -> Tup
         if hi != prev_hend or ri != prev_rend:
             chunks += 1
         prev_hend, prev_rend = hi + lh, ri + lr
-        wm_h += w * sum(_word_weight(x) for x in hyp[hi : hi + lh])
-        wm_r += w * sum(_word_weight(x) for x in ref[ri : ri + lr])
-    wlen_h = sum(_word_weight(w) for w in hyp)
-    wlen_r = sum(_word_weight(w) for w in ref)
+        wm_h += w * sum(_word_weight(x, fw) for x in hyp[hi : hi + lh])
+        wm_r += w * sum(_word_weight(x, fw) for x in ref[ri : ri + lr])
+    wlen_h = sum(_word_weight(w, fw) for w in hyp)
+    wlen_r = sum(_word_weight(w, fw) for w in ref)
     return wm_h, wm_r, wlen_h, wlen_r, matches, chunks
 
 
@@ -326,10 +355,11 @@ def score_from_stats(
     return (1 - penalty) * fmean
 
 
-def _py_segment_stats(refs: Sequence[str], hyp: str, table=None, syn_table=None):
+def _py_segment_stats(refs: Sequence[str], hyp: str, table=None, syn_table=None,
+                      fw=FUNCTION_WORDS):
     best, best_score = None, -1.0
     for ref in refs:
-        stats = _py_align(hyp.lower().split(), ref.lower().split(), table, syn_table)
+        stats = _py_align(hyp.lower().split(), ref.lower().split(), table, syn_table, fw)
         score = score_from_stats(*stats)
         if score > best_score:
             best, best_score = stats, score
@@ -393,6 +423,7 @@ class _NativeTable:
 
 _PARAPHRASE_NATIVE = _NativeTable("meteor_set_paraphrase_table")
 _SYNONYM_NATIVE = _NativeTable("meteor_set_synonym_table")
+_FUNCTION_NATIVE = _NativeTable("meteor_set_function_words")
 
 
 def _native_set_table(lib, paraphrase_table: str | None) -> bool:
@@ -403,21 +434,29 @@ def _native_set_synonyms(lib, synonym_table: str | None) -> bool:
     return _SYNONYM_NATIVE.set(lib, synonym_table)
 
 
+def _native_set_function_words(lib, function_words: str | None) -> bool:
+    return _FUNCTION_NATIVE.set(lib, function_words)
+
+
 def segment_stats(
     refs: Sequence[str],
     hyp: str,
     paraphrase_table: str | None = None,
     synonym_table: str | None = None,
+    function_words: str | None = None,
 ) -> Tuple[float, ...]:
     """Best-reference sufficient statistics (wm_h, wm_r, wlen_h, wlen_r,
     matches, chunks) for one segment. ``paraphrase_table`` enables the
-    phrase-matching stage, ``synonym_table`` the word-level synonym stage
+    phrase-matching stage, ``synonym_table`` the word-level synonym stage,
+    and ``function_words`` (a path in the jar's one-word-per-line
+    function.words format) replaces the built-in function-word list
     (see module docstring)."""
     lib = _load_native()
     if (
         lib is not None
         and _native_set_table(lib, paraphrase_table)
         and _native_set_synonyms(lib, synonym_table)
+        and _native_set_function_words(lib, function_words)
     ):
         out = (ctypes.c_double * 7)()
         lib.meteor_segment_stats(
@@ -427,7 +466,8 @@ def segment_stats(
         return tuple(out[:6])
     table = load_paraphrase_table(paraphrase_table) if paraphrase_table else None
     syn = load_paraphrase_table(synonym_table) if synonym_table else None
-    return tuple(_py_segment_stats(refs, hyp, table, syn))
+    fw = load_function_words(function_words) if function_words else FUNCTION_WORDS
+    return tuple(_py_segment_stats(refs, hyp, table, syn, fw))
 
 
 def sentence_meteor(
@@ -435,15 +475,19 @@ def sentence_meteor(
     hyp: str,
     paraphrase_table: str | None = None,
     synonym_table: str | None = None,
+    function_words: str | None = None,
 ) -> float:
     """Best single-reference Meteor 1.5 score for one hypothesis."""
-    if paraphrase_table is None and synonym_table is None:
+    if paraphrase_table is None and synonym_table is None and function_words is None:
         lib = _load_native()
-        if lib is not None and _native_set_table(lib, None) and _native_set_synonyms(lib, None):
+        if (lib is not None and _native_set_table(lib, None)
+                and _native_set_synonyms(lib, None)
+                and _native_set_function_words(lib, None)):
             return float(
                 lib.meteor_sentence(hyp.encode(), "\n".join(refs).encode(), ALPHA, BETA, GAMMA)
             )
-    return score_from_stats(*segment_stats(refs, hyp, paraphrase_table, synonym_table))
+    return score_from_stats(*segment_stats(
+        refs, hyp, paraphrase_table, synonym_table, function_words))
 
 
 def corpus_meteor(
@@ -451,6 +495,7 @@ def corpus_meteor(
     hypotheses: List[str],
     paraphrase_table: str | None = None,
     synonym_table: str | None = None,
+    function_words: str | None = None,
 ) -> float:
     """references[i]: list of reference strings; hypotheses[i]: string.
     Corpus score = Meteor formula over segment statistics summed corpus-wide
@@ -460,6 +505,7 @@ def corpus_meteor(
         return 0.0
     totals = [0.0] * 6
     for refs, hyp in zip(references, hypotheses):
-        for k, v in enumerate(segment_stats(refs, hyp, paraphrase_table, synonym_table)):
+        for k, v in enumerate(segment_stats(
+                refs, hyp, paraphrase_table, synonym_table, function_words)):
             totals[k] += v
     return score_from_stats(*totals)

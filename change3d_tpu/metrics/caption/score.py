@@ -26,11 +26,14 @@ def eval_caption_scores(
     *,
     meteor_paraphrase_table: str | None = None,
     meteor_synonym_table: str | None = None,
+    meteor_function_words: str | None = None,
 ) -> Dict[str, float]:
     """``meteor_paraphrase_table`` / ``meteor_synonym_table``: optional table
     paths (plain or .gz, jar format) enabling METEOR's phrase-matching and
-    synonym stages — only useful when scoring real words; under the
-    reference's stringified-token-id protocol they are no-ops."""
+    synonym stages; ``meteor_function_words``: optional path to the jar's
+    function.words list, replacing the built-in one — only useful when
+    scoring real words; under the reference's stringified-token-id protocol
+    all three are no-ops."""
     refs_tok = [[_to_tokens(r) for r in refs] for refs in references]
     hyps_tok = [_to_tokens(h) for h in hypotheses]
     bleu = corpus_bleu(refs_tok, hyps_tok)
@@ -41,6 +44,7 @@ def eval_caption_scores(
         [" ".join(h) for h in hyps_tok],
         paraphrase_table=meteor_paraphrase_table,
         synonym_table=meteor_synonym_table,
+        function_words=meteor_function_words,
     )
     return {
         "Bleu_1": bleu[0],

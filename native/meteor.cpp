@@ -27,9 +27,10 @@
 // behind optional table loads. Alignment resolution is the jar's beam search
 // over non-conflicting match subsets (maximize covered words, then minimize
 // chunks, then minimize total |hyp_start - ref_start|; beam width 40), not a
-// greedy first-match sweep. Remaining documented divergence from
-// meteor-1.5.jar: the function-word list is a built-in common-English list
-// rather than the jar's corpus-frequency list.
+// greedy first-match sweep. The function-word list defaults to a built-in
+// common-English approximation of the jar's corpus-frequency list; supply
+// the jar's own function.words via meteor_set_function_words for exact
+// fidelity (no remaining divergence given the jar's data files).
 
 #include <algorithm>
 #include <cmath>
@@ -227,8 +228,19 @@ const std::set<std::string>& function_words() {
   return words;
 }
 
+// Custom function-word list (meteor_set_function_words): when loaded it
+// REPLACES the built-in list, so the jar's own function.words file can be
+// supplied verbatim for exact fidelity.
+std::set<std::string>& custom_function_words() {
+  static std::set<std::string> words;
+  return words;
+}
+bool g_has_custom_function_words = false;
+
 inline double word_weight(const std::string& w, double delta) {
-  return function_words().count(w) ? (1.0 - delta) : delta;
+  const std::set<std::string>& fw =
+      g_has_custom_function_words ? custom_function_words() : function_words();
+  return fw.count(w) ? (1.0 - delta) : delta;
 }
 
 // Paraphrase table (optional, meteor_set_paraphrase_table): phrase ->
@@ -496,7 +508,29 @@ extern "C" {
 // (falling back to the equivalent pure-Python scorer), so a stale binary can
 // never silently score with outdated alignment rules. Bump BOTH sides when
 // scoring semantics change.
-int meteor_abi_version() { return 3; }
+int meteor_abi_version() { return 4; }
+
+// Load (or clear, with path == nullptr) a custom function-word list in the
+// jar's function.words format — one word per line (blank lines and
+// whitespace ignored; words lowercased). While loaded it REPLACES the
+// built-in common-English list, so supplying the jar's own file reproduces
+// its content/function weighting exactly. Returns the word count, or -1 if
+// the file cannot be read. An empty file is valid (all words content-
+// weighted) and returns 0 with the custom (empty) list active.
+int meteor_set_function_words(const char* path) {
+  auto& words = custom_function_words();
+  words.clear();
+  g_has_custom_function_words = false;
+  if (path == nullptr) return 0;
+  std::ifstream f(path);
+  if (!f) return -1;
+  std::string line;
+  while (std::getline(f, line)) {
+    for (const std::string& tok : tokenize(line.c_str())) words.insert(tok);
+  }
+  g_has_custom_function_words = true;
+  return static_cast<int>(words.size());
+}
 
 // Load (or clear, with path == nullptr) the paraphrase table used by the
 // optional phrase-matching stage. Lines: "phrase1 ||| phrase2" or the jar's

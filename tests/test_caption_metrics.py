@@ -135,6 +135,38 @@ def test_meteor_function_words_downweighted():
     assert miss_function > miss_content
 
 
+def test_meteor_custom_function_words_flip_score(tmp_path):
+    """A custom function.words list (the jar's format: one word per line)
+    REPLACES the built-in one, and flipping a word's content/function class
+    changes the score. 'tower' is a content word by default; a custom list
+    marking it a function word makes missing it cheaper."""
+    from change3d_tpu.metrics.caption import meteor as m
+
+    fw = tmp_path / "function.words"
+    fw.write_text("tower\nthe\n")
+    ref = [["the tower collapsed"]]
+    hyp = ["the house collapsed"]
+    default = corpus_meteor(ref, hyp)
+    custom = corpus_meteor(ref, hyp, function_words=str(fw))
+    assert custom != default
+    # With 'tower' function-class, the miss is down-weighted: score rises.
+    assert custom > default
+    # The custom list REPLACES (not extends) the built-in: 'a' is no longer
+    # a function word under the custom list, so missing 'the'->'a' now costs
+    # full content weight and scores differ from the built-in treatment.
+    ref2 = [["the tower collapsed"]]
+    miss_fn_default = corpus_meteor(ref2, ["a tower collapsed"])
+    miss_fn_custom = corpus_meteor(ref2, ["a tower collapsed"], function_words=str(fw))
+    assert miss_fn_custom != miss_fn_default
+    # Clearing (no kwarg) restores the built-in list bit-exactly.
+    np.testing.assert_allclose(corpus_meteor(ref, hyp), default, rtol=1e-12)
+    # Python fallback mirrors the native semantics exactly.
+    stats_any = m.segment_stats(ref[0], hyp[0], function_words=str(fw))
+    py_stats = m._py_segment_stats(
+        ref[0], hyp[0], fw=m.load_function_words(str(fw)))
+    np.testing.assert_allclose(stats_any, py_stats, rtol=1e-12)
+
+
 def test_meteor_native_matches_python():
     # The ctypes C++ core and the pure-Python fallback implement the same
     # algorithm; their sufficient statistics must agree.
