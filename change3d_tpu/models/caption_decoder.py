@@ -349,7 +349,14 @@ def beam_search_decode(
         top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, k] ranked desc
         beam_idx = top_idx // v + jnp.arange(b)[:, None] * k  # into [B*k]
         tok_idx = top_idx % v
-        tokens = tokens[beam_idx.reshape(-1)].reshape(b, k, max_len)
+        if k == 1:
+            # Single-beam: top_idx // v == 0 always, so the parent
+            # permutation is the identity — skip the gather (and, below, the
+            # per-layer KV-cache gathers: 6 full-cache copies per step that
+            # dominate greedy-decode time). Bit-identical by construction.
+            tokens = tokens.reshape(b, k, max_len)
+        else:
+            tokens = tokens[beam_idx.reshape(-1)].reshape(b, k, max_len)
         tokens = tokens.at[:, :, t].set(tok_idx)
         # Only the first n_live ranked candidates are kept (shrunk width).
         kept = jnp.arange(k)[None, :] < n_live[:, None]  # [B, k]
@@ -368,9 +375,12 @@ def beam_search_decode(
         scores = jnp.where(alive, top_scores.reshape(-1), neg_inf)
         out = (tokens.reshape(b * k, max_len), scores, alive, n_live, best_tokens, best_scores)
         if incremental is not None:
-            # Beams follow their parents: caches reorder with the same gather.
-            flat_idx = beam_idx.reshape(-1)
-            cache2 = jax.tree_util.tree_map(lambda a: a[flat_idx], cache)
+            if k == 1:
+                cache2 = cache  # identity permutation (see above)
+            else:
+                # Beams follow their parents: caches reorder with the gather.
+                flat_idx = beam_idx.reshape(-1)
+                cache2 = jax.tree_util.tree_map(lambda a: a[flat_idx], cache)
             out = out + (cache2,)
         return out, None
 
