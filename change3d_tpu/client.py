@@ -196,6 +196,16 @@ def _parse_raw_parts(parts: str, data: bytes) -> Dict[str, np.ndarray]:
         name, *dims = part.split(":")
         shape = tuple(int(d) for d in dims)
         count = int(np.prod(shape))
-        out[name] = np.frombuffer(data[off:off + count], np.uint8).reshape(shape)
+        chunk = data[off:off + count]
+        if len(chunk) != count:
+            raise RuntimeError(
+                f"truncated raw response: part {name!r} declares {count} "
+                f"bytes but only {len(chunk)} remain (X-Parts={parts!r}, "
+                f"body={len(data)} bytes)")
+        out[name] = np.frombuffer(chunk, np.uint8).reshape(shape)
         off += count
+    if off != len(data):
+        raise RuntimeError(
+            f"mis-framed raw response: X-Parts {parts!r} consumes {off} "
+            f"bytes but the body carries {len(data)}")
     return out

@@ -216,8 +216,14 @@ class Predictor:
         def forward(variables, pre, post):
             # Detection eval normalization ((x/255 - .5)/.5 == x/127.5 - 1,
             # data.transforms.eval_normalize) fused into the jitted forward.
+            # Normalize in fp32 with eval_normalize's exact op sequence,
+            # THEN cast to compute_dtype: the model sees bit-identical
+            # inputs to the host-normalize float path even in bf16
+            # production (a u8->bf16 fused multiply can land 1 ulp off and
+            # flip near-tie threshold/argmax decisions).
             def norm(a):
-                return a.astype(dtype) * jnp.asarray(1.0 / 127.5, dtype) - 1.0
+                x = (a.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+                return x.astype(dtype)
 
             out = model.apply(variables, norm(pre), norm(post), train=False)
             hard = {}

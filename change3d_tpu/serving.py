@@ -375,7 +375,19 @@ class PredictService:
         # Sharded predictors need every dispatched shape divisible by the
         # device count.
         divisor = getattr(predictor, "batch_divisor", 1)
-        buckets = tuple(b for b in buckets if b % divisor == 0) or (batch_size,)
+        if batch_size % divisor != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the sharded "
+                f"predictor's device count ({divisor})")
+        kept = tuple(b for b in buckets if b % divisor == 0)
+        if kept != buckets:
+            dropped = sorted(set(buckets) - set(kept))
+            print(
+                f"[serving] dropping buckets {dropped}: not divisible by the "
+                f"sharded predictor's device count ({divisor}); keeping {kept}",
+                flush=True,
+            )
+        buckets = kept or (batch_size,)
         self.buckets = buckets
         self.in_hw: Optional[Tuple[int, int]] = (
             (predictor.model.in_height, predictor.model.in_width)
@@ -594,6 +606,10 @@ def make_server(service: PredictService, host: str = "0.0.0.0", port: int = 8000
 
         def do_POST(self):  # noqa: N802
             if self.path != "/v1/predict":
+                # The body stays unread: drop the connection so keep-alive
+                # doesn't misparse it as the next request line (mirrors the
+                # 413 handling below).
+                self.close_connection = True
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             t0 = time.monotonic()

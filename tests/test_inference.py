@@ -88,6 +88,28 @@ def test_predict_u8_matches_float_path():
     np.testing.assert_array_equal(emb.predict_u8(a8, b8)["change"], base.predict_u8(a8, b8)["change"])
 
 
+def test_predict_u8_matches_float_path_bf16():
+    """Same parity claim under the PRODUCTION compute dtype (bf16): the u8
+    path normalizes in fp32 with eval_normalize's exact op sequence before
+    casting, so the model sees bit-identical bf16 inputs either way and the
+    hardened decisions must agree exactly."""
+    import jax.numpy as jnp
+
+    from change3d_tpu.data.transforms import eval_normalize
+
+    rng = np.random.RandomState(7)
+    a8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    b8 = rng.randint(0, 256, (2, H, W, 3), np.uint8)
+    model = Change3D(task=Task.BCD, in_height=H, in_width=W, backbone_cfg=TINY_CFG)
+    pred = Predictor(model, _init(model), compute_dtype=jnp.bfloat16)
+    host = pred.predict(
+        np.stack([eval_normalize(x) for x in a8]),
+        np.stack([eval_normalize(x) for x in b8]),
+    )
+    dev = pred.predict_u8(a8, b8)
+    np.testing.assert_array_equal(np.asarray(dev["change"]), np.asarray(host["change"]))
+
+
 def test_predict_u8_async_matches_blocking():
     """The async launch/fetch split (the pipelined batcher's path, with
     on-device bitpacked binary masks) equals the blocking predict path.
