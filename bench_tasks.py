@@ -25,8 +25,12 @@ BASELINES = {"scd": 1.0 / 0.018, "bda": 1.0 / 0.016, "cc": 1.0 / 0.007}
 # SCD/BDA videos carry more perception frames than BCD (T=5 / T=4 vs 3), so
 # the BCD-tuned batch 128 OOMs; the ladder below b128 lands these.
 BATCHES = {"scd": 64, "bda": 96, "cc": 32}
-ITERS = {"scd": 20, "bda": 20, "cc": 5}
+ITERS = {"scd": 20, "bda": 20, "cc": 20}
 BEAM = 1  # the reference's timing convention is greedy/max-prob decoding
+# Mean LEVIR-CC caption length for the realistic-length early-exit row: the
+# dataset's captions average ~11-12 words (+<start>/<end> framing); the
+# worst-case row decodes the full 51-step budget regardless.
+REALISTIC_MEAN_LEN = 12.0
 
 
 def bench_detection(task_name: str, batch: int, iters: int) -> float:
@@ -70,7 +74,32 @@ def bench_detection(task_name: str, batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
-def bench_cc(batch: int, iters: int) -> float:
+def _mean_decode_len(tokens, end_token: int = 3) -> float:
+    """Mean steps-to-<end> over the batch (max_len where never emitted)."""
+    import numpy as np
+
+    t = np.asarray(tokens)
+    hits = t == end_token
+    has = hits.any(axis=1)
+    first = np.where(has, hits.argmax(axis=1), t.shape[1])
+    return float(first.mean())
+
+
+def bench_cc(batch: int, iters: int, *, realistic: bool = False):
+    """Full CC pipeline (encoder forward + beam decode) samples/sec.
+
+    ``realistic=False`` pins the worst case: early_exit off, all 51 decode
+    steps (random weights rarely emit <end> under greedy, so the production
+    early-exit default would make runs incomparable across rounds).
+    ``realistic=True`` pins the production configuration on caption-length
+    statistics matching LEVIR-CC: the decoder's <end> output bias is
+    calibrated (binary search on one compiled decode, weights are runtime
+    inputs) until the greedy mean decode length is ~REALISTIC_MEAN_LEN, then
+    the pipeline runs with the REAL ``early_exit=True`` while_loop — the
+    same mechanism serving uses — so the row measures what a deployed
+    checkpoint (mean caption ~12 tokens) actually pays.
+    Returns (rate, mean_len or None).
+    """
     import dataclasses
 
     import jax
@@ -97,16 +126,46 @@ def bench_cc(batch: int, iters: int) -> float:
     def apply_tokens(vs, tokens, mem):
         return model.apply(vs, tokens, mem, method=model.decode_captions)
 
+    early_exit = realistic
+    mean_len = None
+    if realistic:
+        # Calibrate out_b[<end>] so greedy decode length matches the target.
+        # One compile (the bias is array data, not structure), ~12 probes.
+        mem0 = jax.jit(
+            lambda vs, a, b: model.apply(vs, a, b, train=False)["memory"]
+        )(variables, pre, post)
+
+        def with_bias(vs, bias):
+            p = dict(vs["params"])
+            d = dict(p["decoder"])
+            d["out_b"] = d["out_b"].at[3].set(jnp.asarray(bias, d["out_b"].dtype))
+            p["decoder"] = d
+            return {**vs, "params": p}
+
+        decode_only = jax.jit(lambda vs, mem: beam_search_decode(
+            apply_tokens, vs, mem, beam_size=BEAM, start_token=2,
+            end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
+            incremental=incremental, early_exit=True))
+        lo, hi = 0.0, 50.0
+        for _ in range(12):
+            mid = 0.5 * (lo + hi)
+            toks, _ = decode_only(with_bias(variables, mid), mem0)
+            mean_len = _mean_decode_len(toks)
+            if mean_len > REALISTIC_MEAN_LEN:
+                lo = mid
+            else:
+                hi = mid
+        variables = with_bias(variables, 0.5 * (lo + hi))
+        toks, _ = decode_only(variables, mem0)
+        mean_len = _mean_decode_len(toks)
+
     def pipeline(carry):
         out = model.apply(variables, carry.astype(jnp.bfloat16),
                           post, train=False)
-        # early_exit=False pins the worst case (all 51 steps): random weights
-        # retire beams at an unrealistic rate, so the production early-exit
-        # default would make runs incomparable across rounds.
         tokens, scores = beam_search_decode(
             apply_tokens, variables, out["memory"], beam_size=BEAM,
             start_token=2, end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
-            incremental=incremental, early_exit=False,
+            incremental=incremental, early_exit=early_exit,
         )
         return tokens, scores
 
@@ -130,7 +189,7 @@ def bench_cc(batch: int, iters: int) -> float:
         t0 = time.perf_counter()
         float(run(pre, iters))
         dt = min(dt, time.perf_counter() - t0)
-    return batch * iters / dt
+    return batch * iters / dt, mean_len
 
 
 def main() -> int:
@@ -156,7 +215,7 @@ def main() -> int:
     for t in tasks:
         batch, iters = BATCHES[t], ITERS[t]
         if t == "cc":
-            rate = bench_cc(batch, iters)
+            rate, _ = bench_cc(batch, iters)
         else:
             rate = bench_detection(t, batch, iters)
         print(json.dumps({
@@ -167,6 +226,19 @@ def main() -> int:
             "batch": batch,
             "beam": BEAM if t == "cc" else None,
         }))
+        if t == "cc":
+            # Production-config companion row: early_exit on, decode-length
+            # statistics calibrated to LEVIR-CC captions (see bench_cc).
+            rate, mean_len = bench_cc(batch, iters, realistic=True)
+            print(json.dumps({
+                "metric": "cc_eval_samples_per_sec_256_realistic_len",
+                "value": round(rate, 2),
+                "unit": "samples/sec",
+                "vs_baseline": round(rate / BASELINES[t], 2),
+                "batch": batch,
+                "beam": BEAM,
+                "mean_decode_len": round(mean_len, 1),
+            }))
     return 0
 
 

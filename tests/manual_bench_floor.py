@@ -32,13 +32,18 @@ def main() -> int:
     failures = 0
     for cmd, metric, floor, pinned in CHECKS:
         out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not line:
+        recs = [
+            json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
+        ]
+        # A bench may print several rows (e.g. cc worst-case + realistic);
+        # guard the one whose metric name matches.
+        recs = [r for r in recs if r.get("metric") == metric]
+        if not recs:
             print(f"FAIL {metric}: no JSON output\n{out.stdout[-500:]}{out.stderr[-500:]}")
             failures += 1
             continue
-        rec = json.loads(line[-1])
-        ok = rec["metric"] == metric and rec["value"] >= floor
+        rec = recs[-1]
+        ok = rec["value"] >= floor
         print(
             f"{'ok  ' if ok else 'FAIL'} {metric}: {rec['value']} "
             f"(floor {floor}" + (f", pinned {pinned}" if pinned else "") + ")"
