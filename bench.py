@@ -130,12 +130,18 @@ def main():
     #   (extra int8 activation copies), dead-even with bf16 at b96
     #   (559.2 vs 560.0; 571.0 with embed), wins only at b64 (517.8 vs 481)
     #   — strictly dominated by running b128.
+    # - "htiled": additionally admit the manual-DMA H-tiled fused kernel for
+    #   the big stage-1/2 maps (ops/pallas/fused_block.py:163) — requires a
+    #   relay compile service that accepts make_async_copy (probe first with
+    #   tests/manual_pallas_repros.py; it crashed the service in rounds 2-4).
+    #   Implies "fused".
     flags = set(sys.argv[3:]) if len(sys.argv) > 3 else {"embed"}
     flags.discard("plain")
-    fused = "fused" in flags
+    fused = "fused" in flags or "htiled" in flags
     embed = "embed" in flags
     backbone = dataclasses.replace(
         x3d_l_config(), packed_eval_stages=stages, fused_inference=fused,
+        fused_htiled="htiled" in flags,
         quantized_eval=("int8" in flags) or ("int8s" in flags),
         quant_mode="static" if "int8s" in flags else "dynamic",
     )

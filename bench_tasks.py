@@ -27,10 +27,19 @@ BASELINES = {"scd": 1.0 / 0.018, "bda": 1.0 / 0.016, "cc": 1.0 / 0.007}
 BATCHES = {"scd": 64, "bda": 96, "cc": 32}
 ITERS = {"scd": 20, "bda": 20, "cc": 20}
 BEAM = 1  # the reference's timing convention is greedy/max-prob decoding
-# Mean LEVIR-CC caption length for the realistic-length early-exit row: the
-# dataset's captions average ~11-12 words (+<start>/<end> framing); the
-# worst-case row decodes the full 51-step budget regardless.
-REALISTIC_MEAN_LEN = 12.0
+# Decode budget for the realistic-length row. The production decode's
+# early_exit while_loop stops when NO row in the batch is still alive, i.e.
+# the batch pays the LONGEST caption in the batch, not the mean — so the
+# realistic scenario to price is "longest caption in this batch of 128".
+# LEVIR-CC captions average ~11-12 words; the long tail sits in the low-20s,
+# so a 26-token budget (25 decode steps vs the worst case's 51) models a
+# batch whose longest caption is 25 tokens. Implemented as a fixed
+# max_len=26 scan — cost-identical to early_exit retiring every row by step
+# 25, and deterministic (an earlier approach that biased the <end> logit to
+# calibrate a target mean length collapsed bimodally to {1, 51}: with
+# correlated per-step logits a bias that makes <end> win at step k makes it
+# win at every step).
+REALISTIC_MAX_LEN = 26
 
 
 def bench_detection(task_name: str, batch: int, iters: int) -> float:
@@ -74,31 +83,17 @@ def bench_detection(task_name: str, batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
-def _mean_decode_len(tokens, end_token: int = 3) -> float:
-    """Mean steps-to-<end> over the batch (max_len where never emitted)."""
-    import numpy as np
-
-    t = np.asarray(tokens)
-    hits = t == end_token
-    has = hits.any(axis=1)
-    first = np.where(has, hits.argmax(axis=1), t.shape[1])
-    return float(first.mean())
-
-
 def bench_cc(batch: int, iters: int, *, realistic: bool = False):
     """Full CC pipeline (encoder forward + beam decode) samples/sec.
 
-    ``realistic=False`` pins the worst case: early_exit off, all 51 decode
-    steps (random weights rarely emit <end> under greedy, so the production
-    early-exit default would make runs incomparable across rounds).
-    ``realistic=True`` pins the production configuration on caption-length
-    statistics matching LEVIR-CC: the decoder's <end> output bias is
-    calibrated (binary search on one compiled decode, weights are runtime
-    inputs) until the greedy mean decode length is ~REALISTIC_MEAN_LEN, then
-    the pipeline runs with the REAL ``early_exit=True`` while_loop — the
-    same mechanism serving uses — so the row measures what a deployed
-    checkpoint (mean caption ~12 tokens) actually pays.
-    Returns (rate, mean_len or None).
+    ``realistic=False`` pins the worst case: all 51 decode steps (random
+    weights rarely emit <end> under greedy, so the production early-exit
+    default would make runs incomparable across rounds).
+    ``realistic=True`` decodes a REALISTIC_MAX_LEN budget instead — the cost
+    a deployed checkpoint pays on a batch whose longest caption is
+    REALISTIC_MAX_LEN-1 tokens (batch-synchronous early exit stops at the
+    batch max, see the constant's comment).
+    Returns (rate, decode_steps).
     """
     import dataclasses
 
@@ -126,46 +121,15 @@ def bench_cc(batch: int, iters: int, *, realistic: bool = False):
     def apply_tokens(vs, tokens, mem):
         return model.apply(vs, tokens, mem, method=model.decode_captions)
 
-    early_exit = realistic
-    mean_len = None
-    if realistic:
-        # Calibrate out_b[<end>] so greedy decode length matches the target.
-        # One compile (the bias is array data, not structure), ~12 probes.
-        mem0 = jax.jit(
-            lambda vs, a, b: model.apply(vs, a, b, train=False)["memory"]
-        )(variables, pre, post)
-
-        def with_bias(vs, bias):
-            p = dict(vs["params"])
-            d = dict(p["decoder"])
-            d["out_b"] = d["out_b"].at[3].set(jnp.asarray(bias, d["out_b"].dtype))
-            p["decoder"] = d
-            return {**vs, "params": p}
-
-        decode_only = jax.jit(lambda vs, mem: beam_search_decode(
-            apply_tokens, vs, mem, beam_size=BEAM, start_token=2,
-            end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
-            incremental=incremental, early_exit=True))
-        lo, hi = 0.0, 50.0
-        for _ in range(12):
-            mid = 0.5 * (lo + hi)
-            toks, _ = decode_only(with_bias(variables, mid), mem0)
-            mean_len = _mean_decode_len(toks)
-            if mean_len > REALISTIC_MEAN_LEN:
-                lo = mid
-            else:
-                hi = mid
-        variables = with_bias(variables, 0.5 * (lo + hi))
-        toks, _ = decode_only(variables, mem0)
-        mean_len = _mean_decode_len(toks)
+    max_len = REALISTIC_MAX_LEN if realistic else MAX_CAPTION_LEN
 
     def pipeline(carry):
         out = model.apply(variables, carry.astype(jnp.bfloat16),
                           post, train=False)
         tokens, scores = beam_search_decode(
             apply_tokens, variables, out["memory"], beam_size=BEAM,
-            start_token=2, end_token=3, pad_token=0, max_len=MAX_CAPTION_LEN,
-            incremental=incremental, early_exit=early_exit,
+            start_token=2, end_token=3, pad_token=0, max_len=max_len,
+            incremental=incremental, early_exit=False,
         )
         return tokens, scores
 
@@ -189,7 +153,7 @@ def bench_cc(batch: int, iters: int, *, realistic: bool = False):
         t0 = time.perf_counter()
         float(run(pre, iters))
         dt = min(dt, time.perf_counter() - t0)
-    return batch * iters / dt, mean_len
+    return batch * iters / dt, max_len - 1
 
 
 def main() -> int:
@@ -227,9 +191,10 @@ def main() -> int:
             "beam": BEAM if t == "cc" else None,
         }))
         if t == "cc":
-            # Production-config companion row: early_exit on, decode-length
-            # statistics calibrated to LEVIR-CC captions (see bench_cc).
-            rate, mean_len = bench_cc(batch, iters, realistic=True)
+            # Realistic-length companion row: the decode budget a deployed
+            # checkpoint pays when the batch's longest caption is 25 tokens
+            # (see REALISTIC_MAX_LEN comment).
+            rate, steps = bench_cc(batch, iters, realistic=True)
             print(json.dumps({
                 "metric": "cc_eval_samples_per_sec_256_realistic_len",
                 "value": round(rate, 2),
@@ -237,7 +202,7 @@ def main() -> int:
                 "vs_baseline": round(rate / BASELINES[t], 2),
                 "batch": batch,
                 "beam": BEAM,
-                "mean_decode_len": round(mean_len, 1),
+                "decode_steps": steps,
             }))
     return 0
 

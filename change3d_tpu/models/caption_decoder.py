@@ -310,7 +310,9 @@ def beam_search_decode(
     k = beam_size
     neg_inf = jnp.float32(-1e9)
 
-    mem = jnp.repeat(memory, k, axis=0)  # [B*k, S, E]
+    # k=1 (greedy, the serving/bench default): every repeat below is an
+    # identity — skip the copies outright (bit-identical by construction).
+    mem = memory if k == 1 else jnp.repeat(memory, k, axis=0)  # [B*k, S, E]
     tokens = jnp.full((b * k, max_len), pad_token, jnp.int32).at[:, 0].set(start_token)
     # Beam 0 active, others -inf so the first expansion fans out from one beam.
     scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b,))
@@ -324,7 +326,8 @@ def beam_search_decode(
         # Project cross-attention K/V from the UN-repeated memory (the k
         # beam copies per image are identical rows), then repeat the results.
         mem_kv = precompute_fn(variables, memory)
-        mem_kv = jax.tree_util.tree_map(lambda a: jnp.repeat(a, k, axis=0), mem_kv)
+        if k > 1:
+            mem_kv = jax.tree_util.tree_map(lambda a: jnp.repeat(a, k, axis=0), mem_kv)
         cache0 = init_cache_fn(variables, b * k, max_len, memory.dtype)
 
     def step(carry, t):

@@ -158,21 +158,28 @@ def main():
         print(json.dumps({"error": err}))
         return 1
     enable_compilation_cache()
-    modes = sys.argv[1:] or ["enc", "dec", "pipe", "chunk"]
+    argv = sys.argv[1:]
+    # --batches 144,160 overrides the per-mode default ladders (probing).
+    batches = None
+    if "--batches" in argv:
+        i = argv.index("--batches")
+        batches = tuple(int(x) for x in argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    modes = argv or ["enc", "dec", "pipe", "chunk"]
     if "enc" in modes:
-        for b in (32, 64, 96, 128):
+        for b in batches or (32, 64, 96, 128):
             r = bench_encoder(b)
             print(json.dumps({"mode": "encoder_only", "batch": b,
                               "rate": round(r, 1)}), flush=True)
     if "dec" in modes:
-        for b in (32, 64, 128, 256):
+        for b in batches or (32, 64, 128, 256):
             r = bench_decode(b)
             print(json.dumps({"mode": "decode_only", "batch": b,
                               "rate": round(r, 1)}), flush=True)
     if "pipe" in modes:
         from bench_tasks import bench_cc
 
-        for b in (32, 64, 96, 128):
+        for b in batches or (32, 64, 96, 128):
             r, _ = bench_cc(b, 10)
             print(json.dumps({"mode": "serial_pipeline", "batch": b,
                               "rate": round(r, 1)}), flush=True)
