@@ -23,8 +23,10 @@ import time
 
 BASELINES = {"scd": 1.0 / 0.018, "bda": 1.0 / 0.016, "cc": 1.0 / 0.007}
 # SCD/BDA videos carry more perception frames than BCD (T=5 / T=4 vs 3), so
-# the BCD-tuned batch 128 OOMs; the ladder below b128 lands these.
-BATCHES = {"scd": 64, "bda": 96, "cc": 32}
+# the BCD-tuned batch 128 OOMs; the round-5 ladders (BENCH_TASKS.json) land
+# these: SCD b96 (b112 OOM), BDA b96 (b112 tiling cliff), CC b128 (T=3,
+# same envelope as BCD; b144+ tiling cliff).
+BATCHES = {"scd": 96, "bda": 96, "cc": 128}
 ITERS = {"scd": 20, "bda": 20, "cc": 20}
 BEAM = 1  # the reference's timing convention is greedy/max-prob decoding
 # Decode budget for the realistic-length row. The production decode's

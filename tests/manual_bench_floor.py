@@ -20,11 +20,13 @@ CHECKS = [
     # default since round 4; ladder + decision in BENCH_EVAL.json).
     ([sys.executable, "bench.py"], "bcd_eval_pairs_per_sec_256", 673.0, 701.7),
     ([sys.executable, "bench_train.py"], "bcd_train_samples_per_sec_256", 90.0, None),
-    # Per-task eval throughput (BENCH_TASKS.json, round 4): production
+    # Per-task eval throughput (BENCH_TASKS.json, round-5 re-pins): production
     # inference config per task, CC runs the full beam-decode pipeline.
-    ([sys.executable, "bench_tasks.py", "scd"], "scd_eval_samples_per_sec_256", 273.0, 284.9),
+    # SCD's floor sits above 5x baseline (277.8) by design — a regression
+    # below the 5x north star must fail loudly, not shave silently.
+    ([sys.executable, "bench_tasks.py", "scd"], "scd_eval_samples_per_sec_256", 294.0, 306.6),
     ([sys.executable, "bench_tasks.py", "bda"], "bda_eval_samples_per_sec_256", 418.0, 436.2),
-    ([sys.executable, "bench_tasks.py", "cc"], "cc_eval_samples_per_sec_256", 406.0, 423.5),
+    ([sys.executable, "bench_tasks.py", "cc"], "cc_eval_samples_per_sec_256", 572.0, 595.8),
 ]
 
 

@@ -62,17 +62,22 @@ def composition(x, w_a, a_a, b_a, w_dw, a_b, b_b, w_c, a_c, b_c, se):
 
 
 def time_fn(fn, *args):
-    out = jax.block_until_ready(fn(*args))
+    """best-of-3 VALUE-FETCH timing: block_until_ready is not a reliable
+    fence through this relay (ARCHITECTURE.md 'Training throughput'); only
+    fetching a scalar forces completion. The sum rides on the same dispatch."""
+    out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
         dt = min(dt, time.perf_counter() - t0)
     return out, dt * 1e3
 
 
 def main():
     enable_compilation_cache()
+    h_tile = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     for name, b, t, h, w, c, ci, cr in SHAPES:
         rng = np.random.RandomState(0)
         f32 = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
@@ -85,13 +90,13 @@ def main():
         args = (x, w_a, a_a, b_a, w_dw, a_b, b_b, w_c, a_c, b_c, se)
 
         ref, ms_xla = time_fn(jax.jit(composition), *args)
-        rows = {"xla_ms": round(ms_xla, 2)}
+        rows = {"h_tile": h_tile, "xla_ms": round(ms_xla, 2)}
         for label, fn in (
             ("jtiled", fused_bottleneck_block_jtiled),
             ("htiled", fused_bottleneck_block_htiled),
         ):
             try:
-                got, ms = time_fn(jax.jit(lambda *a: fn(*a, h_tile=16)), *args)
+                got, ms = time_fn(jax.jit(lambda *a: fn(*a, h_tile=h_tile)), *args)
                 err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
                 scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
                 rows[f"{label}_ms"] = round(ms, 2)
