@@ -62,3 +62,38 @@ for k in (1, 5):
         dt = (time.perf_counter() - t0) / len(mems)
         print(f"k={k} {name:8s} {dt*1e3:8.1f} ms/batch-{B} decode "
               f"({B/dt:.0f} img/s)", flush=True)
+
+    # Chained device-side rate: the per-call rows above include one host
+    # round trip per decode (~35-50 ms on this relay — MORE than the decode
+    # compute itself since the round-5 beam-1 fast path), so they measure
+    # relay latency, not the kernel. This row chains ITERS decodes inside
+    # one jitted scan (the bump makes each iteration's memory depend on the
+    # previous scores — not dedupable) and pays one round trip total: the
+    # device-side number the floor guard pins.
+    ITERS = 20
+
+    def chained(mem0, n, k=k):
+        def body(carry, _):
+            tokens, scores = beam_search_decode(
+                apply_tokens, variables, carry, beam_size=k,
+                start_token=2, end_token=3, pad_token=0, max_len=L,
+                incremental=incr, early_exit=False,
+            )
+            bump = (jnp.sum(scores) * 1e-12
+                    + jnp.sum(tokens).astype(jnp.float32) * 1e-12)
+            return carry + bump.astype(carry.dtype), ()
+
+        final, _ = jax.lax.scan(body, mem0, None, length=n)
+        return jnp.sum(final)
+
+    run = jax.jit(chained, static_argnums=1)
+    float(run(memory, 2))
+    float(run(memory, ITERS))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(memory, ITERS))
+        dt = min(dt, time.perf_counter() - t0)
+    dt /= ITERS
+    print(f"k={k} chained  {dt*1e3:8.1f} ms/batch-{B} decode "
+          f"({B/dt:.0f} img/s)", flush=True)

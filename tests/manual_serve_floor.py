@@ -20,11 +20,19 @@ import sys
 # Served floors carry extra margin beyond wire jitter: on this 1-core host
 # any concurrent CPU work halves client-side throughput (observed 15.55
 # unloaded vs 8.22 with a test suite running alongside).
+# Decode floors guard the CHAINED device-side rates (one host round trip per
+# 20 decodes): after the round-5 beam-1 fast path the decode compute
+# (~18 ms/batch-32) is LESS than one relay round trip (~35-50 ms, varies by
+# the hour), so per-call rates measure the relay, not the kernel — the
+# round-4 per-call floors (740/520) produced a false FAIL on a slow-RTT day
+# while the device-side rate had actually improved. Round-5 chained pins:
+# k=1 1811 img/s, k=5 1493 (fp32 memory, batch 32, 51 worst-case steps);
+# floors ~4% under.
 FLOORS = {
     "served_raw_b128_pairs_per_sec": 5.0,
     "served_artifact_b32_pairs_per_sec": 4.0,
-    "decode_k1_kvcache_img_per_sec": 740.0,
-    "decode_k5_kvcache_img_per_sec": 520.0,
+    "decode_k1_chained_img_per_sec": 1738.0,
+    "decode_k5_chained_img_per_sec": 1433.0,
 }
 
 
@@ -67,8 +75,8 @@ def main() -> int:
                      r"\(([\d.]+) img/s\)", line.strip())
         if m:
             rates[f"k{m.group(1)}_{m.group(2)}"] = float(m.group(3))
-    check("decode_k1_kvcache_img_per_sec", rates.get("k1_kvcache"))
-    check("decode_k5_kvcache_img_per_sec", rates.get("k5_kvcache"))
+    check("decode_k1_chained_img_per_sec", rates.get("k1_chained"))
+    check("decode_k5_chained_img_per_sec", rates.get("k5_chained"))
 
     return failures
 
