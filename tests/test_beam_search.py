@@ -178,6 +178,32 @@ def test_incremental_beam_matches_full_beam():
         np.testing.assert_allclose(np.asarray(s_inc), np.asarray(s_full), rtol=1e-5)
 
 
+def test_short_decode_budget_matches_across_modes():
+    # The realistic-length bench row (bench_tasks.REALISTIC_MAX_LEN) decodes
+    # a shorter max_len budget; the KV-cached incremental path must agree
+    # with the full re-decode at ANY budget, not just the 52-token cap.
+    dec, variables, memory, apply_tokens = _setup()
+    from change3d_tpu.models.caption_decoder import make_incremental_fns
+
+    incr = make_incremental_fns(dec)
+    b = memory.shape[0]
+    for k in (1, 3):
+        for ml in (4, 7):
+            t_full, s_full = beam_search_decode(
+                apply_tokens, variables, memory,
+                beam_size=k, start_token=START, end_token=END, pad_token=PAD,
+                max_len=ml,
+            )
+            t_inc, s_inc = beam_search_decode(
+                apply_tokens, variables, memory,
+                beam_size=k, start_token=START, end_token=END, pad_token=PAD,
+                max_len=ml, incremental=incr,
+            )
+            assert t_full.shape == (b, ml) and t_inc.shape == (b, ml)
+            np.testing.assert_array_equal(np.asarray(t_inc), np.asarray(t_full))
+            np.testing.assert_allclose(np.asarray(s_inc), np.asarray(s_full), rtol=1e-5)
+
+
 def test_early_exit_matches_full_length_scan():
     # The while_loop early exit (all beams retired -> stop) must be
     # bit-identical to the fixed 51-step scan, in both decode modes.
