@@ -32,10 +32,15 @@ from change3d_tpu.models.trainer import Change3D, Task
 from change3d_tpu.models.x3d import x3d_l_config
 
 BEAM = 1
+FUSED = False  # --fused: admit the full fused Pallas blocks (stages 3 AND
+# 4 — BCD's b128 fused rejection only ever covered stage 3; the CC path
+# adds 15 stage-4 blocks at 16^2 where per-op overhead is largest)
 
 
 def build(batch):
-    backbone = dataclasses.replace(x3d_l_config(), packed_eval_stages=(0,))
+    backbone = dataclasses.replace(
+        x3d_l_config(), packed_eval_stages=(0,), fused_inference=FUSED
+    )
     model = Change3D(task=Task.CC, vocab_size=500,
                      in_height=256, in_width=256, backbone_cfg=backbone)
     pre = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
@@ -165,6 +170,10 @@ def main():
         i = argv.index("--batches")
         batches = tuple(int(x) for x in argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
+    if "--fused" in argv:
+        global FUSED
+        FUSED = True
+        argv.remove("--fused")
     modes = argv or ["enc", "dec", "pipe", "chunk"]
     if "enc" in modes:
         for b in batches or (32, 64, 96, 128):
