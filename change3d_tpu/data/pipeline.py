@@ -126,12 +126,30 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator:
+        return self.iter_from(0)
+
+    def iter_from(self, skip_batches: int) -> Iterator:
+        """Iterate starting at batch index ``skip_batches`` of this epoch —
+        ZERO decode/augment cost for the skipped prefix (the batch index
+        list is sliced before any work is submitted). Batch rng seeds use
+        the GLOBAL batch index, so batch k of a resumed epoch is
+        sample-for-sample and augmentation-for-augmentation identical to
+        batch k of an uninterrupted run (the mid-epoch resume path,
+        train/loop.py)."""
         # Every process computes the same global batches, then takes its
         # contiguous slice; rows are rng-seeded by GLOBAL slot so a sharded
         # run's global batch is sample-for-sample the single-process batch.
         lo = self.shard_index * self.local_batch_size
         hi = lo + self.local_batch_size
         batches = [(idxs[lo:hi], valid) for idxs, valid in self._index_batches()]
+        if skip_batches:
+            if skip_batches >= len(batches):
+                raise RuntimeError(
+                    f"resume checkpoint is ahead of the dataset: cannot skip "
+                    f"{skip_batches} of {len(batches)} batches (did the train "
+                    f"split shrink since the preemption save?)"
+                )
+            batches = batches[skip_batches:]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -160,7 +178,10 @@ class DataLoader:
                 # of in-flight sample futures so assembly overlaps decode.
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     window: "deque" = deque()
-                    it = iter(enumerate(batches))
+                    # start= keeps bi the GLOBAL batch index after a resume
+                    # skip, so per-sample rng seeds (seed, epoch, bi, slot)
+                    # match the uninterrupted run's.
+                    it = iter(enumerate(batches, start=skip_batches))
 
                     def submit():
                         nxt = next(it, None)
@@ -203,6 +224,29 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def iter_from(loader, skip_batches: int):
+    """Iterate ``loader`` starting at batch ``skip_batches`` (mid-epoch
+    resume). Zero-cost when the loader supports it (threaded DataLoader's
+    ``iter_from`` slices the index list before any decode); otherwise falls
+    back to draining the prefix, with a clear error instead of a bare
+    StopIteration when the checkpoint is ahead of the dataset."""
+    if skip_batches <= 0:
+        return iter(loader)
+    if hasattr(loader, "iter_from"):
+        return loader.iter_from(skip_batches)
+    it = iter(loader)
+    for k in range(skip_batches):
+        try:
+            next(it)
+        except StopIteration:
+            raise RuntimeError(
+                f"resume checkpoint is ahead of the dataset: cannot skip "
+                f"{skip_batches} batches, epoch ended after {k} (did the "
+                f"train split shrink since the preemption save?)"
+            ) from None
+    return it
 
 
 def make_data_loader(kind: str, dataset, batch_size: int, **kwargs):

@@ -37,6 +37,7 @@ from change3d_tpu.data.pipeline import (
     DataLoader,
     caption_collate,
     device_prefetch,
+    iter_from as data_iter_from,
     make_data_loader,
 )
 from change3d_tpu.models.caption_decoder import MAX_CAPTION_LEN, beam_search_decode
@@ -461,13 +462,40 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
     rng = jax.random.PRNGKey(cfg.seed + 1)
     results: Dict[str, float] = {}
 
+    # Boundary preemption (SIGTERM during an epoch's final step): the epoch
+    # trained fully but was never beam-evaluated or best-gated. Detect it on
+    # resume via the sidecar and run the missing eval on the restored
+    # end-of-epoch state (see loop._run_detection for the detection twin).
+    if (
+        cfg.resume
+        and resume_step > 0
+        and skip_batches == 0
+        and int(ckpt.load_meta().get("preempted_at_step", -1)) == resume_step
+        and start_epoch - 1 >= 0  # CC evaluates every epoch, incl. 0
+    ):
+        done_epoch = start_epoch - 1
+        print(
+            f"[resume] epoch {done_epoch} completed right at the preemption "
+            f"point but was never evaluated — evaluating now",
+            flush=True,
+        )
+        scores = evaluate_captions(
+            model, state.variables, eval_loader, word_map, cfg.beam_size,
+            save_dir=save_path, decode_fn=decode_fn,
+        )
+        logger.log_epoch(done_epoch, scores)
+        if scores["Bleu_4"] >= best_bleu4:
+            best_bleu4 = scores["Bleu_4"]
+            ckpt.save_best(state.variables)
+        ckpt.save_meta({"best_val": best_bleu4})
+        results = scores
+
     tracer = WindowTracer(cfg.profile_dir)
     host_step = resume_step  # host mirror of state.step: no device syncs
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, cfg.epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
-            batch_iter = iter(train_loader)
             n_batches = len(train_loader)
             if epoch == start_epoch and skip_batches:
                 print(
@@ -475,8 +503,9 @@ def _run_caption(cfg, logger, save_path, word_map, vocab_size, mesh, bsh, rsh):
                     f"already-trained batches (mid-epoch checkpoint)",
                     flush=True,
                 )
-                for _ in range(skip_batches):
-                    next(batch_iter)
+                batch_iter = data_iter_from(train_loader, skip_batches)
+            else:
+                batch_iter = iter(train_loader)
             # Every step's loss/top1 accumulates into ONE device scalar (no
             # host sync — the queue stays full), so the logged epoch mean is
             # the exact every-iteration mean the reference logs

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from change3d_tpu.checkpoint.convert import load_x3d_pretrained, merge_backbone_variables
 from change3d_tpu.checkpoint.orbax_io import CheckpointManager
 from change3d_tpu.data.datasets import BCDDataset, SCDDataset, BDADataset
-from change3d_tpu.data.pipeline import make_data_loader, pair_collate, device_prefetch
+from change3d_tpu.data.pipeline import (
+    iter_from as data_iter_from,
+    make_data_loader,
+    pair_collate,
+    device_prefetch,
+)
 from change3d_tpu.data.transforms import make_transform_pipelines
 from change3d_tpu.metrics.confusion import BinaryChangeMeter, SCDMeter, BDAMeter
 from change3d_tpu.models.trainer import Change3D, Task
@@ -146,12 +151,18 @@ class PreemptionGuard:
             signal.signal(signal.SIGTERM, self._prev)
 
     def _on_signal(self, signum, frame) -> None:
-        print(
-            "[preempt] SIGTERM: finishing the in-flight step, then "
-            "checkpoint-and-exit (resume with --resume)",
-            flush=True,
-        )
+        # Flag FIRST, then announce via os.write: print() in signal context
+        # can raise "reentrant call inside BufferedWriter" if the signal
+        # lands while the main thread holds the stdout lock (progress/epoch
+        # prints), which would abort the run before the flag is set — the
+        # exact failure this guard exists to prevent. os.write is
+        # async-signal-safe.
         self._flag.set()
+        os.write(
+            2,
+            b"[preempt] SIGTERM: finishing the in-flight step, then "
+            b"checkpoint-and-exit (resume with --resume)\n",
+        )
 
     def tick(self, global_step: int) -> None:
         """Arm the deterministic test hook after ``global_step`` steps."""
@@ -408,6 +419,34 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
     def evaluate(state) -> Dict[str, float]:
         return _evaluate_split(cfg, eval_step, state, test_loader, bsh)
 
+    # A SIGTERM that lands during an epoch's FINAL step preempts with
+    # skip_batches == 0: the epoch trained to completion but its validation,
+    # logging, and best-model gating never ran (the preempt branch saves and
+    # exits first). Detect that exact boundary on resume — the sidecar pins
+    # the preempt step — and run the missing evaluation now, on the restored
+    # end-of-epoch state, so best/ and the logs match an uninterrupted run.
+    if (
+        cfg.resume
+        and resume_step > 0
+        and skip_batches == 0
+        and int(ckpt.load_meta().get("preempted_at_step", -1)) == resume_step
+        and start_epoch - 1 >= 1  # epoch 0 skips validation (reference protocol)
+    ):
+        done_epoch = start_epoch - 1
+        print(
+            f"[resume] epoch {done_epoch} completed right at the preemption "
+            f"point but was never evaluated — evaluating now",
+            flush=True,
+        )
+        scores = evaluate(state)
+        logger.log_epoch(done_epoch, scores)
+        print(f"[epoch {done_epoch}] val {scores}")
+        if scores[best_metric_name] >= best_val:
+            best_val = scores[best_metric_name]
+            ckpt.save_best(state.variables)
+        ckpt.save_meta({"best_val": best_val})
+        results["last"] = scores
+
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     tracer = WindowTracer(cfg.profile_dir)
     host_step = resume_step  # host mirror of state.step: no device syncs
@@ -415,7 +454,6 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
-            batch_iter = iter(train_loader)
             n_batches = len(train_loader)
             if epoch == start_epoch and skip_batches:
                 print(
@@ -423,8 +461,9 @@ def _run_detection(cfg: RunConfig, logger, save_path: str, mesh) -> Dict[str, An
                     f"already-trained batches (mid-epoch checkpoint)",
                     flush=True,
                 )
-                for _ in range(skip_batches):
-                    next(batch_iter)
+                batch_iter = data_iter_from(train_loader, skip_batches)
+            else:
+                batch_iter = iter(train_loader)
             # Every step's loss accumulates into ONE device scalar (no host
             # sync — the queue stays full), so the logged epoch loss is the
             # exact every-iteration mean the reference logs

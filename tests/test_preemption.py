@@ -116,6 +116,55 @@ def test_kill_mid_epoch_resume_bit_exact(drill_root, tmp_path, monkeypatch):
         L.build_model = saved_build
 
 
+def test_boundary_preemption_recovers_missing_eval(drill_root, tmp_path, monkeypatch):
+    """A SIGTERM that lands during an epoch's FINAL step preempts with the
+    epoch fully trained but never evaluated/best-gated. Resume must detect
+    the boundary (sidecar preempted_at_step == resume_step, skip == 0) and
+    run the missing evaluation, so the epoch log and best/ match an
+    uninterrupted run."""
+    import tests._preempt_driver as D
+    import change3d_tpu.train.loop as L
+
+    saved_build = L.build_model
+    D.install_tiny_backbone()
+    try:
+        save_a, save_b = str(tmp_path / "straight"), str(tmp_path / "boundary")
+
+        monkeypatch.delenv("CHANGE3D_PREEMPT_AFTER_STEP", raising=False)
+        res_a = L.run_detection_training(D.make_cfg(L, drill_root, save_a, "train", 3))
+
+        # Preempt at step 4 == end of epoch 1 (2 batches/epoch): epoch 1
+        # trained fully, its eval never ran.
+        monkeypatch.setenv("CHANGE3D_PREEMPT_AFTER_STEP", "4")
+        res_b = L.run_detection_training(D.make_cfg(L, drill_root, save_b, "train", 3))
+        assert res_b["preempted_at_step"] == 4
+
+        monkeypatch.delenv("CHANGE3D_PREEMPT_AFTER_STEP", raising=False)
+        res_c = L.run_detection_training(D.make_cfg(L, drill_root, save_b, "resume", 3))
+
+        # The resumed run's log must contain epoch 1's eval (the recovered
+        # one) AND epoch 2's — same epochs as the uninterrupted run.
+        def logged_epochs(save_dir):
+            path = os.path.join(_run_dir(save_dir), "train_val_log.jsonl")
+            rows = [json.loads(l) for l in open(path) if l.strip()]
+            return [r["epoch"] for r in rows if r.get("event") == "epoch" and r.get("split") == "val"]
+
+        assert logged_epochs(save_b) == logged_epochs(save_a) == [1, 2]
+
+        # Final checkpoints and the best-metric sidecar agree bit-for-bit.
+        step_a, tree_a = _latest_ckpt_tree(save_a)
+        step_c, tree_c = _latest_ckpt_tree(save_b)
+        assert step_a == step_c == 6
+        _assert_trees_bit_exact(tree_a, tree_c)
+        meta_a = CheckpointManager(_run_dir(save_a)).load_meta()
+        meta_c = CheckpointManager(_run_dir(save_b)).load_meta()
+        assert meta_a["best_val"] == meta_c["best_val"]
+        assert "preempted_at_step" not in meta_c  # cleared after recovery
+        assert res_a["last"] == res_c["last"]
+    finally:
+        L.build_model = saved_build
+
+
 def test_sigterm_subprocess_checkpoint_and_resume(drill_root, tmp_path):
     """A real OS SIGTERM delivered to a separate training process: the run
     checkpoints, exits 0, and a --resume run completes from that step."""
